@@ -1,0 +1,64 @@
+"""Table loaders for the harness parquet tables.
+
+All scans go through ``spark.read.parquet`` so Catalyst predicate
+pushdown / column pruning / partition pruning apply.  The only
+normalization done here is type repair for columns Spark's parquet
+reader cannot represent natively (nanosecond timestamps → microsecond
+``TimestampType``); everything else is schema-on-read.
+
+At 100 TB these loaders are unchanged: parquet scans parallelize by
+row-group, and since we never call ``.cache()``/``.collect()`` here the
+load is a zero-cost plan node until an action runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from project_fauna_spark.session import configure_session
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns stored as parquet TIMESTAMP(NANOS): read as int64
+# (spark.sql.legacy.parquet.nanosAsLong) and convert to a µs timestamp.
+# The synthetic data is µs-granular, so `div 1000` is lossless.
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one harness table, repairing nanosecond timestamp columns."""
+    configure_session(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANOS_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

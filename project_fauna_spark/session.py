@@ -1,0 +1,80 @@
+"""SparkSession construction and runtime configuration.
+
+Two entry paths:
+
+* ``get_spark()`` — build a session tuned for the local harness
+  (``local[$SPARK_GRAFT_CPUS]``, AQE on, UTC).
+* ``configure_session(spark)`` — apply the *runtime-settable* subset of
+  that configuration to a session we did not build (the driver harness
+  passes us its own ``SparkSession``).  Everything the engine needs at
+  query time must be settable here: session timezone (oracle parity —
+  DuckDB timestamps are UTC-naive), Arrow execution, and the legacy
+  parquet nanos-as-long switch that lets Spark read the
+  ``TIMESTAMP(NANOS)`` column in ``events.parquet`` (Spark's parquet
+  reader has no nanosecond timestamp type; we read the raw int64 and
+  convert to a microsecond timestamp in :mod:`project_fauna_spark.io`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to set on an externally-built
+# session at runtime.  All are documented public Spark SQL confs.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark cannot
+    # read that natively — read as long, convert in io.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime re-planning (partition coalescing, skew-join split,
+    # broadcast conversion) — essential at 100 TB, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Idempotent and safe to call before every query; the driver harness
+    builds its own ``SparkSession`` so we cannot rely on builder-time
+    configuration.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A static conf on some build — engine still works for
+            # every table except the nanos-timestamp one.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "project_fauna_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session tuned for the test/bench harness.
+
+    ``spark.sql.shuffle.partitions`` defaults to the local core count —
+    the stock 200 over-parallelizes small local data; on a real cluster
+    this knob (or AQE coalescing) is sized to data volume instead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_session(spark)
