@@ -157,19 +157,26 @@ def ref_validate_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRANSFORM_E = """
     CASE WHEN c_custkey % 7 = 0 THEN NULL
          WHEN c_custkey % 5 = 0 THEN 2000000000000
-         WHEN c_custkey % 5 = 1 THEN (1500000000000 + c_custkey * 12345678) // 1000
+         WHEN c_custkey % 5 = 1 THEN ({intdiv})
          WHEN c_custkey % 5 = 2 THEN 1500000000000 + c_custkey * 12345678
          WHEN c_custkey % 5 = 3 THEN (1500000000000 + c_custkey * 12345678) * 1000
          ELSE (1500000000000 + c_custkey * 12345678) * 1000000
     END
 """
+# Integer division spells differently: Spark SQL `div`, DuckDB `//`.
+_TRANSFORM_E_SPARK = _TRANSFORM_E.format(
+    intdiv="(1500000000000 + c_custkey * 12345678) div 1000"
+)
+_TRANSFORM_E_DUCK = _TRANSFORM_E.format(
+    intdiv="(1500000000000 + c_custkey * 12345678) // 1000"
+)
 
 
 @register(
     "ref_animals_transform",
     oracle=f"""
     WITH src AS (
-      SELECT c_custkey, c_name, c_mktsegment, {_TRANSFORM_E} AS e FROM customer
+      SELECT c_custkey, c_name, c_mktsegment, {_TRANSFORM_E_DUCK} AS e FROM customer
     )
     SELECT CAST(c_custkey AS BIGINT) AS id,
            c_name AS name,
@@ -193,7 +200,7 @@ def ref_animals_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-vs-omitted collapses at the JSON sink — SURVEY.md §7.4).
     """
     cust = load_table(spark, sf_dir, "customer")
-    e = F.expr(_TRANSFORM_E)
+    e = F.expr(_TRANSFORM_E_SPARK)
     csv = F.concat_ws("", F.col("c_mktsegment"), F.lit(", "), F.col("c_name"), F.lit(" , "))
     return cust.select(
         F.col("c_custkey").cast("long").alias("id"),

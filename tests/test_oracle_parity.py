@@ -1,0 +1,83 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query at sf0.01 on Spark AND its DuckDB oracle
+over the same parquet, then compares: row count, sorted column names,
+and the order-insensitive multiset of row values (exact — no float
+tolerance, matching the driver's value-hash).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from project_fauna_spark.io import TABLES, table_path
+from project_fauna_spark.plans import ORACLE, QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(SF_DIR, name)}')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for exact comparison across engines."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    try:  # Decimal from DuckDB aggregates
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:  # pragma: no cover
+        pass
+    return v
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return cols, sorted(
+        (tuple(_norm(row[c]) for c in cols) for row in df.collect()),
+        key=repr,
+    )
+
+
+def _duck_rows(con, sql):
+    rel = con.sql(sql)
+    cols = sorted(rel.columns)
+    idx = [rel.columns.index(c) for c in cols]
+    return cols, sorted(
+        (tuple(_norm(row[i]) for i in idx) for row in rel.fetchall()),
+        key=repr,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    s_cols, s_rows = _spark_rows(df)
+    assert len(s_rows) >= 0  # smoke: query runs
+    if name not in ORACLE:
+        assert len(s_rows) > 0, f"{name}: rows-only query returned empty"
+        return
+    d_cols, d_rows = _duck_rows(duck, ORACLE[name])
+    assert s_cols == d_cols, f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row counts {len(s_rows)} vs {len(d_rows)}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
