@@ -9,5 +9,6 @@ from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
 # Operator modules register their queries at import time.
 import project_fauna_spark.operators.reference_queries  # noqa: F401,E402
 import project_fauna_spark.operators.relational  # noqa: F401,E402
+import project_fauna_spark.operators.dedup  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "register"]
