@@ -1,0 +1,222 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+North-star surface (SURVEY.md §2b): brute-force cosine top-k as the
+exactness baseline, a sign-bit LSH bucketed variant as the scale path,
+and label-centroid scoring as the clustered/IVF pattern.
+
+Cross-engine determinism: cosine is computed as an index-ordered left
+fold in double (`F.aggregate` in Spark, `list_reduce` in DuckDB) —
+float32 inputs cast exactly to double, identical operation order →
+bit-identical results (verified: 0 mismatches over all pairs), so the
+oracle can compare raw double similarity values, not just ids.
+
+Scale design (100 TB):
+
+* Brute-force per-query top-k is a broadcast of the (small) query set
+  against a partitioned corpus scan — linear, no shuffle of the corpus,
+  top-k folded per partition before the final merge.
+* The LSH variant buckets by sign bits of leading dimensions: the join
+  becomes equi on bucket id — candidates per query drop from N to
+  N/2^bits, the classic recall/cost dial.  At real scale the bits come
+  from random hyperplanes (see dedup.dedup_minhash_lsh for the hashed
+  flavor); sign-of-dimension keeps it SQL-expressible so the oracle can
+  check it exactly.
+* Centroid scoring is the IVF pattern: one tiny centroid table
+  (broadcast), one linear pass — exact decimal accumulation makes the
+  centroid reproducible regardless of shuffle order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans.registry import register
+
+from project_fauna_spark.operators.dedup import cosine_sim
+
+# DuckDB spelling of the same index-ordered double fold.
+_SQL_COS = """
+  list_reduce(list_transform(range(1, len({a})+1), k -> {a}[k] * {b}[k]), (s,v) -> s+v)
+  / sqrt( list_reduce(list_transform({a}, x -> x*x), (s,v) -> s+v)
+        * list_reduce(list_transform({b}, x -> x*x), (s,v) -> s+v) )
+"""
+
+_SQL_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "sim_knn_brute_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='q.qemb', b='e.emb')} AS cos
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def sim_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each of 20 query vectors.
+
+    Broadcast the query set against a single linear corpus scan; the
+    per-query top-k folds inside the window (WindowGroupLimit pushes
+    the k-filter below the shuffle).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    queries = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb"))
+    )
+    sims = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim(F.col("qemb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return sims.select("query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= 5
+    )
+
+
+def sign_bucket(emb: Column, bits: int = 6) -> Column:
+    """LSH bucket id from the sign bits of the first ``bits`` dims."""
+    out = F.lit(0)
+    for i in range(bits):
+        bit = F.when(F.element_at(emb, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        out = out * 2 + bit
+    return out.cast("int")
+
+
+@register(
+    "sim_ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_SQL_EMB_D} AS emb,
+             CAST(
+               (CASE WHEN embedding[1] >= 0 THEN 32 ELSE 0 END) +
+               (CASE WHEN embedding[2] >= 0 THEN 16 ELSE 0 END) +
+               (CASE WHEN embedding[3] >= 0 THEN 8 ELSE 0 END) +
+               (CASE WHEN embedding[4] >= 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN embedding[5] >= 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, bucket FROM e WHERE vec_id < 50),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, q.bucket,
+             {_SQL_COS.format(a='q.qemb', b='e.emb')} AS cos
+      FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors: candidates share a 6-bit sign-LSH
+    bucket, so the similarity join is EQUI on bucket id (shuffle by
+    bucket, ~N/64 candidates per query) instead of a full scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", sign_bucket(F.col("embedding")).alias("bucket"))
+    queries = (
+        base.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    sims = (
+        base.join(
+            queries,
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            cosine_sim(F.col("qemb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return sims.select(
+        "query_id", "neighbor_id", "bucket", "cos", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 3)
+
+
+@register(
+    "sim_label_centroid",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings),
+    grouped AS (
+      SELECT label, list(emb ORDER BY vec_id) AS embs, COUNT(*) AS n
+      FROM e GROUP BY label
+    ),
+    cent AS (
+      SELECT label,
+             list_transform(
+               list_reduce(embs,
+                           (a, b) -> list_transform(range(1, len(a)+1), k -> a[k] + b[k])),
+               s -> s / n) AS centroid
+      FROM grouped
+    )
+    SELECT e.vec_id, e.label,
+           {_SQL_COS.format(a='e.emb', b='c.centroid')} AS cos_to_centroid
+    FROM e JOIN cent c ON e.label = c.label
+    """,
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of every vector to its label centroid (IVF pattern).
+
+    Centroid = elementwise mean, accumulated by folding the label's
+    vectors in vec_id order — a fixed fold order makes the double sum
+    reproducible AND bit-identical to the oracle's identical fold.
+    (Decimal accumulation is not usable here: DuckDB's double→decimal
+    cast rounds through a double multiply, so the two engines disagree
+    in the last ulps.)  The centroid table is tiny → broadcast; scoring
+    is one linear pass.  At 100 TB, per-label collect_list bounds at
+    the label group size — for unbounded groups, switch to fixed-order
+    partial folds per partition range.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    demb = F.transform("embedding", lambda x: x.cast("double"))
+    grouped = e.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("vec_id"), demb.alias("emb")))),
+            lambda s: s.emb,
+        ).alias("embs"),
+        F.count("*").alias("n"),
+    )
+    cent = grouped.select(
+        "label",
+        F.transform(
+            F.aggregate(
+                F.slice("embs", 2, F.size("embs") - 1),
+                F.element_at("embs", 1),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ),
+            lambda s: s / F.col("n"),
+        ).alias("centroid"),
+    )
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            cosine_sim(F.col("embedding"), F.col("centroid")).alias("cos_to_centroid"),
+        )
+    )

@@ -10,5 +10,6 @@ from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
 import project_fauna_spark.operators.reference_queries  # noqa: F401,E402
 import project_fauna_spark.operators.relational  # noqa: F401,E402
 import project_fauna_spark.operators.dedup  # noqa: F401,E402
+import project_fauna_spark.operators.similarity  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "register"]
