@@ -1,0 +1,116 @@
+"""Streaming pipeline builders: file-replay and rate sources, windowed
+aggregations with watermarks, availableNow execution helper.
+
+Unbounded-scale notes:
+
+* ``withWatermark`` bounds state: windows older than (max event time −
+  delay) are finalized and evicted — without it, windowed state grows
+  forever.  The delay is the late-data SLA.
+* File-replay (``maxFilesPerTrigger`` / availableNow) is the standard
+  backfill path: identical code serves the historical batch and the
+  live stream — the lambda-architecture collapse Spark is built for.
+* Output modes: windowed aggs with watermark support "append" (emit
+  once, on finalization) — what a downstream exactly-once sink wants;
+  "update"/"complete" serve dashboards.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from project_fauna_spark.session import configure_session
+
+# events.parquet schema, declared (streaming readers require a schema —
+# no inference on unbounded input).  ts is TIMESTAMP(NANOS) in the file;
+# with spark.sql.legacy.parquet.nanosAsLong it reads as long (ns).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (legacy nanos-as-long)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a file stream (schema-declared)."""
+    configure_session(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # dir has all 10 tables
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Built-in rate source → synthetic events (for liveness smoke)."""
+    configure_session(spark)
+    raw = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour counts per event type (append-able)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Watermarked session windows per user (streaming session state)."""
+    return (
+        events.withWatermark("ts", "24 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def run_available_now(stream_df: DataFrame, timeout_s: int = 120) -> DataFrame:
+    """Run a streaming DataFrame to completion over available input.
+
+    availableNow processes the whole backlog in bounded triggers then
+    stops — the batch-parity execution mode.  Results land in a memory
+    sink; returns the result as a (batch) DataFrame.
+    """
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)
