@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is executed twice: a warm-up run (JIT, code cache, file
+listing) and a timed run; the timed number is what a steady-state
+cluster would see.  Timing uses a full materializing action
+(``count`` after collect-less no-op would skip result production, so
+we force the complete result with ``write.format('noop')``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from project_fauna_spark.session import get_spark
+from project_fauna_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the
+# scale-critical paths (shuffle joins, window state, LSH, text explode).
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_broadcast_chain",
+    "join_asof_latest_order",
+    "window_rank",
+    "topk_per_group",
+    "agg_rollup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_knn_brute_cosine",
+    "text_tfidf_topk",
+    "text_fingerprint",
+    "stream_session_window",
+]
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, name: str) -> float:
+    df = QUERIES[name](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()  # warm-up
+    start = time.perf_counter()
+    QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - start
+
+
+def main() -> None:
+    spark = get_spark(app_name="fauna-bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        try:
+            timings[name] = round(run_query(spark, name), 3)
+        except Exception as exc:  # record the failure, keep benching
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
