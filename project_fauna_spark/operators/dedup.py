@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from project_fauna_spark.functions.vectors import cosine_sim
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -93,13 +94,44 @@ def dedup_exact_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (built-ins only)."""
+def _zipped_trigrams(text: Column) -> Column:
+    """Word-triple struct array: [(w[i], w[i+1], w[i+2])] for all i.
+
+    PERFORMANCE-CRITICAL SHAPE: higher-order-function lambdas run
+    interpreted, so any expression referenced *inside* a lambda (e.g.
+    ``element_at(split(text), i)``) re-evaluates per element — an
+    O(len²) trap.  Zipping the words array against its own shifted
+    slices evaluates ``split`` only a constant number of times per row;
+    the lambda then touches nothing but its own element.
+    """
     words = F.split(text, " ")
-    k = F.size(words) - (n - 1)
+    k = F.greatest(F.size(words) - 2, F.lit(0))
+    zipped = F.arrays_zip(
+        words.alias("w1"),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))).alias("w2"),
+        F.slice(words, 3, k).alias("w3"),
+    )
+    return F.slice(zipped, 1, k)
+
+
+def shingles(text: Column) -> Column:
+    """Distinct word 3-gram shingles of a text column (built-ins only)."""
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
+        _zipped_trigrams(text), lambda s: F.concat_ws(" ", s.w1, s.w2, s.w3)
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(text: Column, seed: int = 0) -> Column:
+    """Distinct xxhash64 values of word 3-gram shingles.
+
+    Hashes the word triple directly (no string concatenation) — the
+    cheap representation for candidate generation: 8-byte join keys
+    instead of ~30-char strings.  Collisions (~2⁻⁶⁴) can only create
+    spurious candidates, which exact verification removes.
+    """
+    grams = F.transform(
+        _zipped_trigrams(text), lambda s: F.xxhash64(s.w1, s.w2, s.w3, F.lit(seed))
     )
     return F.array_distinct(grams)
 
@@ -137,25 +169,52 @@ _SQL_SHINGLES = """
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5).
 
-    Inverted-index join: explode distinct shingles, self-join on the
-    shingle, count matches per pair — candidate pairs are only those
-    sharing ≥1 shingle, never an all-pairs product.  The final jaccard
-    is an integer-ratio double (bit-identical across engines).
+    Two-phase (PPJoin-style): (1) candidates via an inverted-index
+    self-join over 8-byte shingle HASHES — only docs sharing ≥1
+    shingle and passing the size-ratio prune ever pair up, and the
+    shuffle carries longs, not gram strings; (2) survivors verified
+    with exact string-shingle intersection, so the output is exact.
+    The final jaccard is an integer-ratio double (bit-identical across
+    engines).
     """
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("sgl").alias("n_sgl"))
-    ex = sh.select("doc_id", F.explode("sgl").alias("shingle"))
+    d = load_table(spark, sf_dir, "documents")
+    # Candidate stage runs entirely on 8-byte shingle hashes: the
+    # explode, shuffle, and pair aggregation never touch gram strings.
+    hashed = d.select("doc_id", shingle_hashes(F.col("text")).alias("hsgl"))
+    ex = hashed.select("doc_id", F.size("hsgl").alias("n"), F.explode("hsgl").alias("h"))
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # Size-ratio pruning: jaccard >= t forces t·|A| <= |B| <= |A|/t —
+    # applied inside the join so pruned pairs never reach the shuffle.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * 2 >= F.col("a.n"))
+            & (F.col("a.n") * 2 >= F.col("b.n")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
+        .filter(
+            F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sgl").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sgl").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # Exact verification: string shingle sets built ONLY for the
+    # (tiny) surviving candidate docs, joined back by id.
+    sh = _doc_shingles(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"))
+    n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
+    jac = n_inter.cast("double") / (F.size("sgl_a") + F.size("sgl_b") - n_inter)
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
@@ -182,16 +241,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — no all-pairs stage anywhere.  xxhash64-seeded → Spark-
     deterministic, not SQL-portable → rows-only check.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sgl").alias("shingle"))
-    sig = ex.groupBy("doc_id").agg(
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingle_hashes(F.col("text")).alias("sgl"))
+    # Signatures as per-row higher-order expressions: sig[s] =
+    # min(xxhash64(shingle_hash, s)) over the doc's shingle-hash ARRAY —
+    # no explode, no shuffle; the whole sketch stage is a narrow map.
+    sig = sh.select(
+        "doc_id",
+        "sgl",
         F.array(
-            *[F.min(F.xxhash64("shingle", F.lit(s))).alias(f"h{s}") for s in range(N_PERM)]
-        ).alias("sig")
+            *[
+                F.array_min(F.transform("sgl", lambda x: F.xxhash64(x, F.lit(s))))
+                for s in range(N_PERM)
+            ]
+        ).alias("sig"),
     )
     bands = sig.select(
         "doc_id",
         "sig",
+        "sgl",
         F.explode(
             F.array(
                 *[
@@ -203,8 +271,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    ).select("doc_id", "sig", "sgl", "band.band_id", "band.band_hash")
     a, b = bands.alias("a"), bands.alias("b")
+    # Bucket-collision candidates; sig + shingle arrays ride along so
+    # estimation AND exact verification need no lookup joins.
     cands = (
         a.join(
             b,
@@ -217,6 +287,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
+            F.col("a.sgl").alias("sgl_a"),
+            F.col("b.sgl").alias("sgl_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -228,28 +300,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(float(N_PERM))
     )
-    cands = cands.select("doc_a", "doc_b", est.alias("est_jaccard"))
-    # Verify candidates with exact jaccard (tiny set after LSH).
-    sizes = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.col("sgl"), F.size("sgl").alias("n_sgl")
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"), F.col("n_sgl").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"), F.col("n_sgl").alias("n_b")
-    )
-    verified = (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sgl_a", "sgl_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
+    n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
+    jac = n_inter.cast("double") / (F.size("sgl_a") + F.size("sgl_b") - n_inter)
+    return (
+        cands.select("doc_a", "doc_b", est.alias("est_jaccard"), jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
-    return verified.select("doc_a", "doc_b", "est_jaccard", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -301,20 +357,6 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
-
-
-def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float> columns, double math.
-
-    Index-ordered fold (``F.aggregate``) — deterministic, JVM-side,
-    no UDF.
-    """
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
-    nb = F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
-    return dot / F.sqrt(na * nb)
 
 
 @register(

@@ -30,10 +30,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.functions.vectors import cosine_sim
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
-
-from project_fauna_spark.operators.dedup import cosine_sim
 
 # DuckDB spelling of the same index-ordered double fold.
 _SQL_COS = """

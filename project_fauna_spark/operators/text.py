@@ -224,11 +224,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams (explode → count → top-k)."""
     d = load_table(spark, sf_dir, "documents")
+    # Zip words with their own tail so the HOF lambda touches only its
+    # element — referencing slice(words, i, 2) inside the lambda would
+    # re-split the text per element (see dedup._zipped_trigrams).
     words = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.array_join(F.slice(words, i, 2), " "),
+    k = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.slice(
+        F.arrays_zip(words.alias("w1"), F.slice(words, 2, k).alias("w2")), 1, k
     )
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", s.w1, s.w2))
     return (
         d.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
