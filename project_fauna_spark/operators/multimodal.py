@@ -1,0 +1,178 @@
+"""Multimodal (binary) column operators.
+
+Images/audio/video at pipeline scale are opaque ``binary`` columns
+with typed metadata; decode/feature-extraction runs in Arrow-batched
+Pandas stages (``mapInPandas``).  The container has no image/audio
+libraries, so the decoders are DETERMINISTIC FAKES clearly marked
+below — the Spark-side contract (schema, batching, partitioning, UDF
+signatures) is real and tested; swapping in a real codec changes only
+the marked function body.
+
+The binary payloads are synthesized from ``documents.text`` (UTF-8
+encode) so every engine — and the DuckDB oracle — sees identical
+bytes.
+
+Scale design (100 TB):
+
+* Binary payloads stay columnar (parquet binary) end-to-end; metadata
+  extraction is expression-level (no Python) wherever possible
+  (length, hashes, magic bytes).
+* Pandas stages receive Arrow record batches — tune
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+  payloads fits executor memory (e.g. 10 MB images → batches of ~100).
+* Frame sampling fans out rows (one per sampled frame) BEFORE heavy
+  per-frame work, so decode parallelism isn't bounded by video count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans.registry import register
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, media metadata struct)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/x-fauna-blob").alias("content_type"),
+            F.length(payload).alias("n_bytes"),
+            F.col("lang").alias("lang_hint"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha256,
+           substr(text, 1, 4) AS magic4,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-level binary metadata: size, digest, magic, frames.
+
+    Everything here is JVM expressions over the binary column — the
+    pattern for cheap media triage (corrupt/duplicate/type detection)
+    before any Python decode runs.
+    """
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.decode(F.substring("payload", 1, 4), "UTF-8").alias("magic4"),
+        F.ceil(F.col("media_meta.n_bytes") / 64.0).cast("long").alias("n_frames"),
+    )
+
+
+FRAME_SIZE = 64
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_sha8", T.StringType()),
+    ]
+)
+
+
+@register("mm_frame_sample")  # Pandas-UDF stage → rows-only check
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling via ``mapInPandas``: payload → every 4th 64-byte
+    frame, one output row per sampled frame.
+
+    The Arrow-batched Pandas stage is the real multimodal plumbing;
+    the "frame" math is byte slicing (a stand-in for video frame
+    extraction, which needs codecs this container lacks).
+    """
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for idx in range(0, (len(data) + FRAME_SIZE - 1) // FRAME_SIZE, FRAME_STRIDE):
+                    frame = data[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "frame_bytes": len(frame),
+                            "frame_sha8": hashlib.sha256(frame).hexdigest()[:8],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return p.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """DETERMINISTIC FAKE DECODER (no image libs in this container).
+
+    A real implementation replaces ONLY this function body with e.g.
+    ``PIL.Image.open(io.BytesIO(payload))``; the Spark plumbing
+    (schema, batching, null handling) stays identical.
+    """
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    channels = 1 + digest[2] % 3
+    mean_intensity = sum(payload[:256]) / max(1, min(len(payload), 256)) / 255.0
+    return width, height, channels, mean_intensity
+
+
+@register("mm_decode_features")  # Pandas-UDF stage → rows-only check
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style decode + feature extraction over binary payloads.
+
+    ``mapInPandas`` with Arrow transfer; decode itself is the marked
+    deterministic fake above.
+    """
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c, mi = _fake_decode(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "n_channels": c,
+                        "mean_intensity": mi,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return p.mapInPandas(decode, schema=DECODE_SCHEMA)
