@@ -54,6 +54,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines ingest with declared schema (PERMISSIVE corrupt-row
+    tolerance — reference S4 semantics: a bad record degrades to a row
+    with nulls + the raw text in ``_corrupt_record``, never a failure).
+
+    Always pass a schema at scale: inference is an extra full scan.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema + ", _corrupt_record STRING")
+    return reader.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+    """CSV ingest with declared schema + PERMISSIVE bad-row tolerance."""
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

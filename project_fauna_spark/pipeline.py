@@ -47,6 +47,37 @@ def assert_output_contract(transformed: DataFrame) -> None:
     assert bad == 0, f"{bad} rows violate the ISO-8601-Z output contract"
 
 
+def transform_with_metrics(
+    details: DataFrame, as_of: str | None = None
+) -> tuple[DataFrame, "Observation"]:
+    """Transform + T4 quality metric in ONE plan.
+
+    The reference counts values nulled by epoch validation and warns
+    (pipeline.py:65-70,82-83).  ``observe`` attaches the counter to
+    the existing plan — zero extra jobs or scans (a separate
+    ``filter().count()`` would re-run the pipeline).  Read
+    ``observation.get`` after any action on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    staged = details.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("name"),
+        split_friends("friends").alias("friends"),
+        epoch_to_iso8601_utc("born_at", as_of).alias("born_at"),
+        F.col("born_at").alias("_raw_born_at"),
+    )
+    obs = Observation("quality")
+    observed = staged.observe(
+        obs,
+        F.sum(
+            F.when(F.col("_raw_born_at").isNotNull() & F.col("born_at").isNull(), 1).otherwise(0)
+        ).alias("n_invalid_born_at"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return observed.drop("_raw_born_at"), obs
+
+
 def run_pipeline(
     spark: SparkSession,
     transport_factory: TransportFactory,
