@@ -17,7 +17,10 @@ Two entry paths:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +40,51 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``project_fauna_spark`` importable on executor Python
+    workers via ``addPyFile``.
+
+    cloudpickle serializes module-level functions BY REFERENCE, so any
+    Pandas-stage function defined in this package needs the package on
+    the workers' import path — which a foreign driver session (run
+    from any cwd) does not provide.  Shipping a zip of the package is
+    the standard PySpark library deployment; content-hashed filename
+    keeps repeat calls and code edits idempotent.
+    """
+    marker = "spark.fauna.shippedPackage"
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    digest = hashlib.sha256()
+    py_files = []
+    for dirpath, _, filenames in os.walk(pkg_root):
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                fp = os.path.join(dirpath, fn)
+                py_files.append(fp)
+                with open(fp, "rb") as f:
+                    digest.update(fp.encode())
+                    digest.update(f.read())
+    tag = digest.hexdigest()[:16]
+    try:
+        if spark.conf.get(marker, "") == tag:
+            return
+    except Exception:
+        pass
+    zip_path = os.path.join(tempfile.gettempdir(), f"project_fauna_spark-{tag}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for fp in py_files:
+                zf.write(fp, os.path.join("project_fauna_spark", os.path.relpath(fp, pkg_root)))
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+        spark.conf.set(marker, tag)
+    except Exception:
+        # Same-content re-add or a restricted context: workers either
+        # already have the package or will resolve it from cwd.
+        pass
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
@@ -51,6 +99,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # A static conf on some build — engine still works for
             # every table except the nanos-timestamp one.
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The escape hatch for stateful logic the built-in window/session
+operators can't express — here, a per-user running profile that emits
+an updated row per trigger and expires idle users via processing-time
+timeout.  State is a compact tuple per key: at scale the state store
+shards by key across executors (RocksDB provider in production;
+set ``spark.sql.streaming.stateStore.providerClass``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_event_type", T.StringType()),
+        T.StructField("expired", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_event_type", T.StringType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this trigger's events into the user's running state."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": total,
+              "last_event_type": last, "expired": True}]
+        )
+        return
+    n, total, last = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        # Deterministic fold order regardless of batch arrival order.
+        pdf = pdf.sort_values("event_id")
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last = str(pdf["event_type"].iloc[-1])
+    state.update((n, total, last))
+    state.setTimeoutDuration(60_000)  # expire after 60s idle
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "total_value": total,
+          "last_event_type": last, "expired": False}]
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """events stream → per-user running profile with idle expiry."""
+    return (
+        events.select("user_id", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the plans must BE the scale-correct
+plans, not merely produce correct rows.
+
+These tests read `.explain("formatted")` output (no execution beyond
+planning) and pin the properties the 100 TB design depends on:
+predicate pushdown into parquet, column pruning, broadcast of dims,
+top-k via TakeOrderedAndProject, window-group-limit pushdown, and the
+absence of Python evaluation in pure-expression operators.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from project_fauna_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    plan = plan_of(spark, "q_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    # The shipdate range must reach the scan (row-group pruning).
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "sort_limit_global")
+    # The scan must read only the two projected columns.
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_orderdate" not in read and "o_orderstatus" not in read
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast_chain")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "sort_limit_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    plan = plan_of(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_pure_expression_ops_have_no_python(spark):
+    # These are claimed UDF-free: no Python evaluation anywhere.
+    for name in [
+        "ref_split_friends",
+        "ref_epoch_normalize",
+        "text_fingerprint",
+        "dedup_ngram_jaccard",
+        "sim_knn_brute_cosine",
+        "agg_pricing_summary",
+    ]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_pandas_stages_are_arrow_not_rowwise(spark):
+    plan = plan_of(spark, "udf_pandas_scalar")
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    plan = plan_of(spark, "join_asof_latest_order")
+    # One hash partitioning exchange on the key; window over it; no join node.
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan

@@ -51,3 +51,37 @@ def test_rate_stream_produces_rows(spark):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_stateful_user_profile(spark):
+    """applyInPandasWithState: running per-user profile over a replay."""
+    from project_fauna_spark.streaming.stateful import user_profile_stream
+    from project_fauna_spark.streaming import events_file_stream
+    import uuid
+
+    stream = user_profile_stream(events_file_stream(spark, SF))
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.table(name).collect()}
+    # Cross-check counts/sums against batch.
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    batch = {
+        r["user_id"]: r
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, row in got.items():
+        assert row["n_events"] == batch[uid]["n"]
+        assert abs(row["total_value"] - batch[uid]["tv"]) < 1e-6
