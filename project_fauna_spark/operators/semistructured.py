@@ -7,7 +7,7 @@ real pipelines lean on for nested/JSON-shaped data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
@@ -232,3 +232,115 @@ def semi_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: s.event_type,
     )
     return e.groupBy("user_id").agg(seq.alias("event_seq"), F.size(seq).alias("n"))
+
+
+@register(
+    "scalar_string_fns2",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, 'Brand#10') AS brand_dist,
+           split_part(p_type, ' ', 1) AS type_first,
+           split_part(p_type, ' ', -1) AS type_last,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_up,
+           repeat(p_brand, 2) AS brand_twice,
+           reverse(p_name) AS name_rev,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           left(p_name, 5) AS name_l5,
+           right(p_name, 5) AS name_r5,
+           contains(p_type, 'an') AS has_an,
+           starts_with(p_brand, 'Brand#1') AS is_b1x,
+           ends_with(p_type, 'd') AS ends_d
+    FROM part
+    """,
+)
+def scalar_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery 2: edit distance, split_part (incl. negative
+    index), translate, repeat/reverse, position, left/right,
+    contains/startswith/endswith."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("brand_dist"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(-1)).alias("type_last"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels_up"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.substring("p_name", 1, 5).alias("name_l5"),
+        F.substring(F.col("p_name"), -5, 5).alias("name_r5"),
+        F.contains(F.col("p_type"), F.lit("an")).alias("has_an"),
+        F.startswith(F.col("p_brand"), F.lit("Brand#1")).alias("is_b1x"),
+        F.endswith(F.col("p_type"), F.lit("d")).alias("ends_d"),
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v,
+             CASE WHEN event_id % 4 = 0 THEN NULL ELSE user_id END AS u
+      FROM events WHERE event_id < 1000
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(v) AS n_v_nonnull,
+           COUNT(DISTINCT u) AS n_u_distinct,
+           CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) AS sum_v,
+           (SUM(CASE WHEN v IS NULL AND u IS NULL THEN 1 ELSE 0 END)) AS n_both_null,
+           CAST(SUM(CAST(COALESCE(v, 0.0) AS DECIMAL(30,8))) AS DOUBLE) AS sum_v_coalesced,
+           BOOL_AND(v IS NULL OR v >= 0) AS all_nonneg_or_null,
+           BOOL_OR(v IS NULL) AS any_null
+    FROM src
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: count(*) vs count(col), null-skipping
+    aggregates, coalesce, three-valued-logic bool aggregates."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    src = e.select(
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value")).alias("v"),
+        F.when(F.col("event_id") % 4 == 0, None).otherwise(F.col("user_id")).alias("u"),
+    )
+    v, u = F.col("v"), F.col("u")
+    return src.agg(
+        F.count("*").alias("n_rows"),
+        F.count(v).alias("n_v_nonnull"),
+        F.countDistinct(u).alias("n_u_distinct"),
+        F.sum(v.cast("decimal(30,8)")).cast("double").alias("sum_v"),
+        F.sum(F.when(v.isNull() & u.isNull(), 1).otherwise(0)).alias("n_both_null"),
+        F.sum(F.coalesce(v, F.lit(0.0)).cast("decimal(30,8)")).cast("double").alias("sum_v_coalesced"),
+        F.bool_and(v.isNull() | (v >= 0)).alias("all_nonneg_or_null"),
+        F.bool_or(v.isNull()).alias("any_null"),
+    )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing 1-hour rollups —
+    the rolling-feature shape for event/feature-store pipelines."""
+    e = load_table(spark, sf_dir, "events")
+    # Order by MICROSECONDS, not floor-seconds: a truncated ordering
+    # key flips membership for events in the (1h, 1h+1s) boundary band.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(30,8)")).over(w).cast("double").alias("sum_last_hour"),
+    )
