@@ -73,7 +73,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _payloads(spark, sf_dir)
     return p.select(
         "doc_id",
-        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
         F.sha2("payload", 256).alias("payload_sha256"),
         F.decode(F.substring("payload", 1, 4), "UTF-8").alias("magic4"),
         F.ceil(F.col("media_meta.n_bytes") / 64.0).cast("long").alias("n_frames"),

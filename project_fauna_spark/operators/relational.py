@@ -571,9 +571,9 @@ def agg_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
-           rank()       OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
-           row_number() OVER w AS rn
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(row_number() OVER w AS INT) AS rn
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
@@ -672,7 +672,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution",
     oracle="""
     SELECT o_orderkey, o_orderpriority, o_totalprice,
-           ntile(4)       OVER w AS quartile,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
            percent_rank() OVER w AS pct_rank,
            cume_dist()    OVER w AS cdist
     FROM orders
@@ -722,8 +722,8 @@ def sort_limit_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
       FROM orders
     ) WHERE rn <= 3
     """,
@@ -810,7 +810,7 @@ def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("name_upper"),
         F.lower("p_type").alias("type_lower"),
         F.substring("p_name", 1, 10).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.regexp_extract("p_brand", r"(\d+)", 1).cast("long").alias("brand_num"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
@@ -892,8 +892,8 @@ def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
         F.array_join(F.slice(words, 1, 3), " ").alias("first3"),
         F.array_min(words).alias("min_word"),
         F.array_max(words).alias("max_word"),
@@ -961,4 +961,84 @@ def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("price_tithe"),
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over a full-partition frame (explicit
+    UNBOUNDED FOLLOWING — the default frame would make last_value the
+    current row, a classic silent-wrong-answer)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count-distincts in one aggregate (Expand-based plan:
+    one pass over the data fans each row into one stream per distinct
+    column instead of N separate scans)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "scalar_regex_fns",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+           regexp_matches(p_type, '^[A-Z]+ ') AS starts_upper_word,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_caps,
+           len(regexp_split_to_array(p_name, '\s+')) AS n_name_words
+    FROM part
+    """,
+)
+def scalar_regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: global replace, match test, capture extract,
+    regex split.  (Spark regexp_replace is global by default; DuckDB
+    needs the 'g' flag — an easy cross-engine divergence.)"""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.col("p_type").rlike("^[A-Z]+ ").alias("starts_upper_word"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_caps"),
+        F.size(F.split(F.col("p_name"), r"\s+")).cast("long").alias("n_name_words"),
     )

@@ -231,20 +231,20 @@ def semi_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s.event_type,
     )
-    return e.groupBy("user_id").agg(seq.alias("event_seq"), F.size(seq).alias("n"))
+    return e.groupBy("user_id").agg(seq.alias("event_seq"), F.size(seq).cast("long").alias("n"))
 
 
 @register(
     "scalar_string_fns2",
     oracle="""
     SELECT p_partkey,
-           levenshtein(p_brand, 'Brand#10') AS brand_dist,
+           CAST(levenshtein(p_brand, 'Brand#10') AS BIGINT) AS brand_dist,
            split_part(p_type, ' ', 1) AS type_first,
            split_part(p_type, ' ', -1) AS type_last,
            translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_up,
            repeat(p_brand, 2) AS brand_twice,
            reverse(p_name) AS name_rev,
-           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
            left(p_name, 5) AS name_l5,
            right(p_name, 5) AS name_r5,
            contains(p_type, 'an') AS has_an,
@@ -260,13 +260,13 @@ def scalar_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.levenshtein("p_brand", F.lit("Brand#10")).alias("brand_dist"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).cast("long").alias("brand_dist"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(-1)).alias("type_last"),
         F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels_up"),
         F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
         F.reverse(F.col("p_name")).alias("name_rev"),
-        F.instr("p_name", "a").alias("first_a"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
         F.substring("p_name", 1, 5).alias("name_l5"),
         F.substring(F.col("p_name"), -5, 5).alias("name_r5"),
         F.contains(F.col("p_type"), F.lit("an")).alias("has_an"),

@@ -56,8 +56,8 @@ _SQL_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     )
     SELECT query_id, neighbor_id, cos, rank FROM (
       SELECT query_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id) AS rank
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rank
       FROM sims
     ) WHERE rank <= 5
     """,
@@ -84,9 +84,9 @@ def sim_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return sims.select("query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank")).filter(
-        F.col("rank") <= 5
-    )
+    return sims.select(
+        "query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 5)
 
 
 def sign_bucket(emb: Column, bits: int = 6) -> Column:
@@ -119,8 +119,8 @@ def sign_bucket(emb: Column, bits: int = 6) -> Column:
       FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, bucket, cos, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rank
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
       FROM sims
     ) WHERE rank <= 3
     """,

@@ -59,11 +59,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        n.alias("n_tokens"),
-        F.size(F.array_distinct(words)).alias("n_distinct"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
         (F.size(F.array_distinct(words)).cast("double") / n).alias("distinct_ratio"),
         (F.length(F.array_join(words, "")).cast("double") / n).alias("avg_word_len"),
-        F.size(F.filter(words, lambda x: F.array_contains(stop, x))).alias("n_stopwords"),
+        F.size(F.filter(words, lambda x: F.array_contains(stop, x))).cast("long").alias("n_stopwords"),
     )
 
 
@@ -103,7 +103,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        n.alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
         uniq.alias("uniq_ratio"),
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
@@ -204,7 +204,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         fingerprint.alias("fingerprint"),
-        F.size(words).alias("n_words"),
+        F.size(words).cast("long").alias("n_words"),
     )
 
 

@@ -114,3 +114,31 @@ def run_available_now(stream_df: DataFrame, timeout_s: int = 120) -> DataFrame:
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def stream_to_batch_sink(
+    stream_df: DataFrame,
+    sink_batch,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+):
+    """foreachBatch bridge: apply any BATCH sink to each micro-batch.
+
+    The standard way to reuse batch-only writers (JDBC, HTTP POST,
+    multi-table fan-out) from a stream; the (df, batch_id) contract
+    plus the checkpoint gives at-least-once delivery — idempotent
+    sinks upgrade that to effectively-exactly-once.  Runs availableNow
+    to completion.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return q

@@ -85,7 +85,7 @@ def test_split_friends_differential(spark, values):
 
 epochs = st.one_of(
     st.none(),
-    st.integers(min_value=-(10**6), max_value=10**19),
+    st.integers(min_value=-(10**6), max_value=2**63 - 1),  # LongType domain
     # Cluster around the unit thresholds where detection branches flip.
     st.integers(min_value=10**12 - 1000, max_value=10**12 + 1000),
     st.integers(min_value=10**15 - 1000, max_value=10**15 + 1000),

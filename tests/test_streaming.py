@@ -85,3 +85,38 @@ def test_stateful_user_profile(spark):
     for uid, row in got.items():
         assert row["n_events"] == batch[uid]["n"]
         assert abs(row["total_value"] - batch[uid]["tv"]) < 1e-6
+
+
+def test_foreach_batch_to_post_sink(spark, tmp_path):
+    """Stream → foreachBatch → chunked batch-POST sink end-to-end."""
+    from project_fauna_spark.streaming import events_file_stream
+    from project_fauna_spark.streaming.pipelines import stream_to_batch_sink
+    from project_fauna_spark.sinks.batch_post import post_batches_with_receipts
+    from project_fauna_spark.sources.http import FileBackedTransport, RetryPolicy
+    import json, os
+
+    api_dir = str(tmp_path / "api")
+    os.makedirs(api_dir)
+    fast = RetryPolicy(retries=1, backoff_base=0.0, backoff_cap=0.0, jitter_max=0.0)
+    received = []
+
+    def sink_batch(df, batch_id):
+        receipts = post_batches_with_receipts(
+            df.select("event_id", "event_type", "value"),
+            lambda: FileBackedTransport(api_dir),
+            batch_size=100,
+            policy=fast,
+        )
+        received.append(sum(r["n_records"] for r in receipts.collect()))
+
+    stream = events_file_stream(spark, SF)
+    stream_to_batch_sink(stream, sink_batch, str(tmp_path / "ckpt"))
+    assert sum(received) == 1000  # all sf0.001 events delivered
+    posts = os.listdir(os.path.join(api_dir, "posts"))
+    total = 0
+    for name in posts:
+        with open(os.path.join(api_dir, "posts", name)) as f:
+            batch = json.load(f)
+            assert len(batch) <= 100
+            total += len(batch)
+    assert total == 1000
