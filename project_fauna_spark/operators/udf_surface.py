@@ -144,3 +144,107 @@ def udf_explode_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") / F.col("n_inst")).alias("installment_amount"),
         )
     )
+
+
+COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_orders", T.LongType()),
+        T.StructField("max_event_value", T.DoubleType()),
+        T.StructField("max_order_price", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "udf_cogroup",
+    oracle="""
+    WITH e AS (SELECT user_id, COUNT(*) AS n_events, max(value) AS max_event_value
+               FROM events GROUP BY user_id),
+         o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+                      max(o_totalprice) AS max_order_price
+               FROM orders WHERE o_custkey < 150 GROUP BY o_custkey)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           e.max_event_value AS max_event_value,
+           o.max_order_price AS max_order_price
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: events ⟕⟖ orders per user in one
+    Python function — the custom-join escape hatch (as-of matching,
+    interval alignment, per-key reconciliation) when relational joins
+    can't express the pairing.  Stats are selection-based (counts/max)
+    so the result is order-independent and exactly oracled.
+    """
+    from project_fauna_spark.io import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events").select("user_id", "value")
+    orders = (
+        _lt(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    )
+
+    def merge(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        (uid,) = key
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(uid),
+                    "n_events": len(left),
+                    "n_orders": len(right),
+                    "max_event_value": float(left["value"].max()) if len(left) else None,
+                    "max_order_price": float(right["o_totalprice"].max()) if len(right) else None,
+                }
+            ]
+        )
+
+    return (
+        events.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(merge, schema=COGROUP_SCHEMA)
+    )
+
+
+@register(
+    "scalar_higher_order_fns",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           list_transform(words[1:5], x -> upper(x)) AS first5_upper,
+           list_filter(words[1:20], x -> length(x) > 4) AS long_words_20,
+           len(list_filter(words, x -> x = 'data')) AS n_data,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(words, x -> CAST(length(x) AS BIGINT))),
+                       (a, b) -> a + b) AS total_chars,
+           list_has_any(words, ['spark', 'query']) AS mentions_engine,
+           list_has_all(words[1:50], ['the']) AS has_the_early
+    FROM w
+    """,
+)
+def scalar_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order function battery: transform, filter, aggregate
+    (fold), exists/forall-style predicates — all JVM-side lambdas."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.transform(F.slice(words, 1, 5), lambda x: F.upper(x)).alias("first5_upper"),
+        F.filter(F.slice(words, 1, 20), lambda x: F.length(x) > 4).alias("long_words_20"),
+        F.size(F.filter(words, lambda x: x == F.lit("data"))).cast("long").alias("n_data"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+        F.exists(words, lambda x: (x == F.lit("spark")) | (x == F.lit("query"))).alias(
+            "mentions_engine"
+        ),
+        F.forall(
+            F.array(F.lit("the")), lambda t: F.array_contains(F.slice(words, 1, 50), t)
+        ).alias("has_the_early"),
+    )
