@@ -40,6 +40,10 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_fingerprint",
     "stream_session_window",
+    "q_shipping_priority",
+    "q_returned_items",
+    "llm_corpus_clean",
+    "llm_pack_shards",
 ]
 
 

@@ -1,0 +1,210 @@
+"""Composed LLM-training-data pipeline operators.
+
+The end-to-end shapes a pre-training corpus pipeline actually runs —
+each one a single lazy plan composing the primitive operators:
+
+* corpus cleaning: quality gate → exact dedup → near-dup removal;
+* shard packing: greedy token-budget packing into training shards;
+* gap-fill: dense time grids with forward-filled values (the feature-
+  store companion when event streams feed training features).
+
+Scale notes: cleaning is filters + the (already candidate-bounded)
+near-dup join; packing is one window cumsum per language partition —
+a single shuffle; gap-fill generates the grid with ``sequence`` (no
+driver loop) and fills with last-non-null windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.operators.dedup import shingle_hashes
+from project_fauna_spark.plans.registry import register
+
+
+@register(
+    "llm_corpus_clean",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 50
+    ),
+    keyed AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY text ORDER BY doc_id) AS copy_rank
+      FROM quality
+    ),
+    exact_kept AS (SELECT doc_id, text, lang, n_tokens FROM keyed WHERE copy_rank = 1),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, len(ws) - 1)]) AS sgl
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM exact_kept)
+    ),
+    neardup_b AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sgl, b.sgl)) > 0
+        AND CAST(len(list_intersect(a.sgl, b.sgl)) AS DOUBLE)
+            / (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))) >= 0.5
+    )
+    SELECT e.doc_id, e.lang, e.n_tokens
+    FROM exact_kept e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM neardup_b)
+    """,
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning: quality gate → exact dedup (min-id survivor)
+    → greedy near-dup removal (drop the higher id of each pair).
+
+    Greedy pair-drop is the scalable stand-in for connected-components
+    clustering: one candidate-bounded join, no iteration.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    quality = d.select(
+        "doc_id", "text", "lang", F.size(words).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 50)
+
+    w = W.partitionBy("text").orderBy("doc_id")
+    exact_kept = (
+        quality.withColumn("copy_rank", F.row_number().over(w))
+        .filter(F.col("copy_rank") == 1)
+        .drop("copy_rank")
+    )
+
+    # Near-dup candidates over shingle hashes (same 2-phase shape as
+    # dedup_ngram_jaccard), then drop every pair's doc_b.
+    hashed = exact_kept.select("doc_id", shingle_hashes(F.col("text")).alias("hsgl"))
+    ex = hashed.select("doc_id", F.size("hsgl").alias("n"), F.explode("hsgl").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .filter(
+            F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= 0.5
+        )
+    )
+    drop_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact_kept.join(drop_ids, "doc_id", "left_anti").select("doc_id", "lang", "n_tokens")
+
+
+@register(
+    "llm_pack_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS shard_id,
+           cum_tokens
+    FROM packed
+    """,
+)
+def llm_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs to ~2048-token training
+    shards per language.
+
+    shard_id = floor(tokens-before-this-doc / budget) — the standard
+    streaming-pack approximation (a doc may straddle a boundary; exact
+    bin-packing is NP-hard and needless here).  One window cumsum per
+    language partition = ONE shuffle; at 100 TB add a coarse
+    range-bucket to the partition key to bound partition width.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048).cast("long").alias("shard_id"),
+        "cum_tokens",
+    )
+
+
+@register(
+    "llm_gap_fill_forward",
+    oracle="""
+    WITH hours AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+      FROM events WHERE user_id < 30
+      GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+    ),
+    spans AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hours GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+      FROM spans s
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, h.n_events, h.sum_value
+      FROM grid g LEFT JOIN hours h ON g.user_id = h.user_id AND g.hour = h.hour
+    )
+    SELECT user_id,
+           strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(n_events, 0) AS n_events,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ffill
+    FROM joined
+    """,
+)
+def llm_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per user with forward-filled values.
+
+    Grid generation via ``sequence()`` per user (no driver loop, no
+    cross join with a calendar table); missing hours get count 0 and
+    the last observed value (``last(..., ignorenulls)``) — the
+    resample + ffill primitive for feature pipelines.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hours = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+        )
+    )
+    spans = hours.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = grid.join(hours, ["user_id", "hour"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
+    )
