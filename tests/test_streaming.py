@@ -120,3 +120,64 @@ def test_foreach_batch_to_post_sink(spark, tmp_path):
             assert len(batch) <= 100
             total += len(batch)
     assert total == 1000
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """True streaming late-drop: a second micro-batch far behind the
+    watermark is excluded from finalized windows (append mode)."""
+    import shutil, uuid, time as _time
+    from pyspark.sql import functions as F, types as T
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+
+    def write_batch(fname, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / fname))
+        # move the part file into the watched dir atomically
+        import glob, os
+        part = glob.glob(str(tmp_path / fname / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{fname}.parquet"))
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    late = datetime(2024, 1, 1, 6, 0, 0)  # 4h behind
+    write_batch("b1", [(t0, 1), (datetime(2024, 1, 1, 12, 0, 0), 2)])
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(name).count() >= 1:
+                break
+            _time.sleep(1)
+        # batch 2: one late row (behind watermark=12:00-1h) + one fresh row
+        write_batch("b2", [(late, 3), (datetime(2024, 1, 1, 14, 0, 0), 4)])
+        q.processAllAvailable()
+        rows = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+        # the 10:00 window was finalized with 1 row; the late 06:00 row
+        # must never appear
+        assert rows.get("2024-01-01 10:00") == 1
+        assert "2024-01-01 06:00" not in rows
+    finally:
+        q.stop()
