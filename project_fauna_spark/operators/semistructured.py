@@ -344,3 +344,23 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         F.sum(F.col("value").cast("decimal(30,8)")).over(w).cast("double").alias("sum_last_hour"),
     )
+
+
+@register("sample_bernoulli")  # RNG is engine-specific → rows-only
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (~10%) — per-row coin flips, no shuffle,
+    reproducible within Spark for a fixed seed + partitioning."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register("sample_stratified")  # RNG is engine-specific → rows-only
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: per-stratum fractions via sampleBy — the
+    class-balance primitive for training-data curation."""
+    e = load_table(spark, sf_dir, "events")
+    fractions = {"view": 0.05, "click": 0.2, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+    sampled = e.sampleBy("event_type", fractions, seed=7)
+    return sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
