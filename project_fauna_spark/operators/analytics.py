@@ -234,3 +234,81 @@ def subq_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") == F.col("max_price"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "agg_corr_deterministic",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+      FROM lineitem
+    )
+    SELECT n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ( sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) )
+             AS corr_qty_price,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (n * n)
+             AS covar_pop_scaled
+    FROM m
+    """,
+)
+def agg_corr_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments.
+
+    Built-in corr() streams in shuffle order (nondeterministic last
+    ulps); composing from exact Σx/Σy/Σxy/Σx²/Σy² is one map-side-
+    combinable aggregate and bit-reproducible across engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,4)")
+    y = F.col("l_extendedprice").cast("decimal(19,4)")
+    m = l.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = n * sxy - sx * sy
+    return m.select(
+        "n",
+        (num / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias("corr_qty_price"),
+        (num / (n * n)).alias("covar_pop_scaled"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing — one hash aggregate;
+    the scalable histogram (vs sort-based exact quantiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

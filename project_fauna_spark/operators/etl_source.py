@@ -57,10 +57,12 @@ def _epoch_for(k: int) -> int | None:
 def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the fake-API fixture derived from customer."""
     key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(tempfile.gettempdir(), f"fauna_api_fixture_{key}")
-    done = os.path.join(root, ".complete")
-    if os.path.exists(done):
-        return root
+    final = os.path.join(tempfile.gettempdir(), f"fauna_api_fixture_{key}")
+    if os.path.exists(os.path.join(final, ".complete")):
+        return final
+    # Build in a private dir, then atomically rename: concurrent query
+    # processes either see the complete fixture or build their own.
+    root = f"{final}.build.{os.getpid()}"
     os.makedirs(root, exist_ok=True)
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -91,9 +93,13 @@ def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     for r in records:
         with open(os.path.join(root, f"detail_{r['id']}.json"), "w") as f:
             json.dump(r, f)
-    with open(done, "w") as f:
+    with open(os.path.join(root, ".complete"), "w") as f:
         f.write("ok")
-    return root
+    try:
+        os.rename(root, final)
+    except OSError:
+        pass  # another process won the race; use its fixture
+    return final if os.path.exists(os.path.join(final, ".complete")) else root
 
 
 @register(
