@@ -1,0 +1,38 @@
+"""PySpark 4 Python DataSource: paginated API as format('fauna_animals')."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def fixture_root(tmp_path):
+    root = str(tmp_path / "api")
+    os.makedirs(root)
+    records = [{"id": i, "name": f"A{i}"} for i in range(1, 26)]
+    pages = [records[:10], records[10:20], records[20:]]
+    for n, items in enumerate(pages, start=1):
+        with open(os.path.join(root, f"listing_page_{n}.json"), "w") as f:
+            json.dump({"page": n, "total_pages": len(pages), "items": items}, f)
+    return root
+
+
+def test_datasource_scan(spark, fixture_root):
+    from project_fauna_spark.sources.datasource import FaunaAnimalsDataSource
+
+    spark.dataSource.register(FaunaAnimalsDataSource)
+    df = (
+        spark.read.format("fauna_animals")
+        .option("fixture_root", fixture_root)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert sorted(r["id"] for r in rows) == list(range(1, 26))
+    # one partition per page
+    assert df.rdd.getNumPartitions() == 3
+    by_page = {r["id"]: r["page"] for r in rows}
+    assert by_page[1] == 1 and by_page[25] == 3

@@ -73,3 +73,21 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_merge_upsert_idempotent(spark):
+    """Applying the same updates twice yields the same table (the
+    reference's idempotency future-work, README.md:151-158)."""
+    from project_fauna_spark.operators.upsert import merge_upsert
+
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    target = cust.filter(F.col("c_custkey") < 100)
+    updates = cust.filter((F.col("c_custkey") >= 50) & (F.col("c_custkey") < 150)).select(
+        "c_custkey",
+        F.concat(F.lit("U#"), F.col("c_name")).alias("c_name"),
+        (F.col("c_acctbal") + 1.0).alias("c_acctbal"),
+    )
+    once = merge_upsert(target, updates, "c_custkey")
+    twice = merge_upsert(once, updates, "c_custkey")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == 150
