@@ -142,3 +142,32 @@ def stream_to_batch_sink(
         if q.isActive:
             q.stop()
     return q
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: same key, right event within
+    [left_ts - within, left_ts].
+
+    Both sides carry watermarks so the join state is bounded: a
+    buffered left row can be dropped once no right row within the
+    interval can still arrive (and vice versa).  Unbounded stream-
+    stream joins without watermarks + time bounds grow state forever —
+    this shape is the production-safe one.
+    """
+    l = left.withWatermark(left_ts, within)
+    r = right.withWatermark(right_ts, within)
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return l.alias("l").join(
+        r.alias("r"),
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt - F.expr(f"INTERVAL {within}"))
+        & (rt <= lt),
+        "inner",
+    )

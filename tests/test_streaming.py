@@ -181,3 +181,59 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert "2024-01-01 06:00" not in rows
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream join reproduces the batch interval
+    join over a replay of the same data."""
+    from project_fauna_spark.streaming import events_file_stream
+    from project_fauna_spark.streaming.pipelines import interval_join_streams
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+    import uuid
+
+    # Two views of the events stream: purchases join clicks within 1h.
+    stream = events_file_stream(spark, SF)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id_c"), F.col("ts").alias("ts_c"),
+        F.col("event_id").alias("click_id"),
+    )
+    l = purchases.withWatermark("ts", "1 hour").alias("l")
+    r = clicks.withWatermark("ts_c", "1 hour").alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id_c"))
+        & (F.col("r.ts_c") >= F.col("l.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("r.ts_c") <= F.col("l.ts")),
+        "inner",
+    ).select("purchase_id", "click_id")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()}
+
+    e = load_table(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id_c"), F.col("ts").alias("ts_c"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (p.user_id == c.user_id_c)
+            & (c.ts_c >= p.ts - F.expr("INTERVAL 1 HOUR"))
+            & (c.ts_c <= p.ts),
+        ).select("purchase_id", "click_id").collect()
+    }
+    assert got == want and len(want) > 0
