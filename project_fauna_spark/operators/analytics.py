@@ -312,3 +312,111 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@register(
+    "q_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice,
+           {sql_dsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery of big orders → semi join →
+    detail aggregation.  The IN-subquery becomes a left-semi join on
+    the pre-aggregated key set — one extra aggregation, no row blowup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "agg_bitwise_and_stringagg",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(CAST(l_orderkey % 256 AS BIGINT)) AS band,
+           bit_or(CAST(l_orderkey % 256 AS BIGINT)) AS bor,
+           bit_xor(CAST(l_orderkey % 256 AS BIGINT)) AS bxor,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise_and_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates + ordered string aggregation.
+
+    listagg/string_agg without ORDER BY is shuffle-order garbage —
+    the deterministic spelling sorts the distinct set first."""
+    l = load_table(spark, sf_dir, "lineitem")
+    k = (F.col("l_orderkey") % 256)
+    return l.groupBy("l_returnflag").agg(
+        F.bit_and(k).alias("band"),
+        F.bit_or(k).alias("bor"),
+        F.bit_xor(k).alias("bxor"),
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+    )
+
+
+@register(
+    "scalar_array_set_ops",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_sort(list_distinct((string_split(text, ' '))[1:20])) AS a,
+             list_sort(list_distinct((string_split(text, ' '))[21:40])) AS b
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_concat(a, b))) AS union_ab,
+           list_sort(list_intersect(a, b)) AS intersect_ab,
+           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS except_ab
+    FROM w
+    """,
+)
+def scalar_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union/intersect/except), sorted for
+    deterministic comparison (engines order set results differently)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = F.split(F.col("text"), " ")
+    a = F.array_sort(F.array_distinct(F.slice(words, 1, 20)))
+    b = F.array_sort(F.array_distinct(F.slice(words, 21, 20)))
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_union(a, b)).alias("union_ab"),
+        F.array_sort(F.array_intersect(a, b)).alias("intersect_ab"),
+        F.array_sort(F.array_except(a, b)).alias("except_ab"),
+    )
