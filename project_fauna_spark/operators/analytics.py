@@ -248,14 +248,21 @@ def subq_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
       FROM lineitem
     )
+    , d AS (
+      SELECT n,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy
+      FROM m
+    )
     SELECT n,
-           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / ( sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-               * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) )
+           (n * dxy - dx * dy)
+             / ( sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy) )
              AS corr_qty_price,
-           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (n * n)
-             AS covar_pop_scaled
-    FROM m
+           (n * dxy - dx * dy) / (n * n) AS covar_pop_scaled
+    FROM d
     """,
 )
 def agg_corr_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:

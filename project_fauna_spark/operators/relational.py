@@ -471,7 +471,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('l_extendedprice')} AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """,
+    """,  # noqa: the Spark side below must keep the same cast semantics
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube)."""

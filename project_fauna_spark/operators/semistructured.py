@@ -116,25 +116,35 @@ def semi_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semi_argmax_aggregates",
     oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rx,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rm
+      FROM events
+    )
     SELECT event_type,
-           arg_max(event_id, value) AS max_value_event,
-           arg_min(event_id, value) AS min_value_event,
+           max(CASE WHEN rx = 1 THEN event_id END) AS max_value_event,
+           max(CASE WHEN rm = 1 THEN event_id END) AS min_value_event,
            max(value) AS max_value,
            median(value) AS median_value
-    FROM events GROUP BY event_type
+    FROM ranked GROUP BY event_type
     """,
 )
 def semi_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax) + exact median.
+    """max_by/min_by (argmax) with tie-proof composite keys + median.
 
-    value is continuous so argmax ties don't arise; mode() is NOT here
-    because tied modes resolve engine-specifically — the deterministic
-    mode lives in semi_mode_deterministic.
+    Bare ``max_by(id, value)`` resolves value ties engine-specifically
+    (real at scale: sf0.1 has ~25k tied (type, value) pairs) —
+    maximizing the (value, id) STRUCT lexicographically makes the
+    winner unique.  The oracle spells the same semantics as ranked
+    windows (DuckDB's arg_max can't take composite keys).
     """
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.max_by("event_id", "value").alias("max_value_event"),
-        F.min_by("event_id", "value").alias("min_value_event"),
+        F.max_by("event_id", F.struct("value", "event_id")).alias("max_value_event"),
+        F.min_by("event_id", F.struct("value", "event_id")).alias("min_value_event"),
         F.max("value").alias("max_value"),
         F.median("value").alias("median_value"),
     )

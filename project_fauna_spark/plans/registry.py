@@ -58,12 +58,21 @@ def davg(col: Column, precision: int = 30, scale: int = 8) -> Column:
 
 
 # The DuckDB-side spellings of the same conventions, for oracle strings.
+#
+# The decimal→double cast routes through VARCHAR: DuckDB's direct
+# DECIMAL→DOUBLE converts the int128 payload to double and THEN divides
+# by 10^scale — two roundings, which disagrees with the single correct
+# rounding Spark (BigDecimal.doubleValue) performs once the scaled
+# payload exceeds 2^53.  String→double parsing is correctly rounded in
+# both engines, restoring bit equality at any magnitude.
 def sql_dsum(expr: str, precision: int = 30, scale: int = 8) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def sql_davg(expr: str, precision: int = 30, scale: int = 8) -> str:
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT({expr})"
     )
