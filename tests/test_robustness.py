@@ -1,0 +1,56 @@
+"""Robustness: repeated invocation, empty results, sf0.001 smoke.
+
+The driver may call any query multiple times, at different scale
+factors, from a session the engine didn't build — none of that may
+change results or crash.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", ["agg_pricing_summary", "dedup_ngram_jaccard", "etl_paginated_scan"])
+def test_repeated_invocation_is_stable(spark, name):
+    """Same query, three invocations → identical results."""
+    runs = [sorted(map(tuple, QUERIES[name](spark, SF).collect())) for _ in range(3)]
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_empty_result_filters_do_not_crash(spark):
+    """A filter matching nothing flows through aggregates/windows."""
+    l = load_table(spark, SF, "lineitem").filter(F.col("l_quantity") < -1)
+    assert l.count() == 0
+    agg = l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double").alias("s")
+    )
+    assert agg.count() == 0
+    global_agg = l.agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s")).collect()
+    assert global_agg[0]["n"] == 0 and global_agg[0]["s"] is None
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_pricing_summary",
+        "join_asof_latest_order",
+        "dedup_exact_text",
+        "sim_knn_brute_cosine",
+        "text_tfidf_topk",
+        "stream_session_window",
+        "llm_pack_shards",
+    ],
+)
+def test_queries_run_at_smoke_scale(spark, name):
+    """Queries survive the sf0.001 smoke scale (driver entry() scale)."""
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert df.count() >= 0  # no crash; schema resolvable
+    assert len(df.columns) > 0
