@@ -427,3 +427,79 @@ def scalar_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_intersect(a, b)).alias("intersect_ab"),
         F.array_sort(F.array_except(a, b)).alias("except_ab"),
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(19,4)) AS x,
+             CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))
+                  AS DECIMAL(19,4)) AS x2
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(x) AS s1, SUM(x2) AS s2,
+             SUM(x2 * x) AS s3, SUM(x2 * x2) AS s4
+      FROM q GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag, n,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2,
+             CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS d3,
+             CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS d4
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           d1 / n AS mean_qty,
+           (d3 - 3 * (d1 / n) * d2 + 2 * n * (d1 / n) * (d1 / n) * (d1 / n))
+             / (n * ((d2 - d1 * d1 / n) / n) * sqrt((d2 - d1 * d1 / n) / n)) AS skewness_qty,
+           (d4 - 4 * (d1 / n) * d3 + 6 * (d1 / n) * (d1 / n) * d2
+              - 3 * n * (d1 / n) * (d1 / n) * (d1 / n) * (d1 / n))
+             / (n * ((d2 - d1 * d1 / n) / n) * ((d2 - d1 * d1 / n) / n)) - 3 AS kurtosis_qty
+    FROM d
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness + excess kurtosis from exact decimal power sums.
+
+    Built-in skewness()/kurtosis() stream in shuffle order; composing
+    from exact Σx..Σx⁴ is order-independent and bit-reproducible.
+    x² is truncated back to decimal(19,4) (exact: quantities have
+    ≤2 dp, so x² has ≤4 dp) so x³ = x²·x and x⁴ = x²·x² stay inside
+    38-digit products on both engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,4)")
+    x2 = (x * x).cast("decimal(19,4)")
+    m = l.select(F.col("l_returnflag"), x.alias("x"), x2.alias("x2")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x2") * F.col("x")).alias("s3"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s4"),
+    )
+    n = F.col("n")
+    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d3, d4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    mean = d1 / n
+    var_pop = (d2 - d1 * d1 / n) / n
+    skew = (d3 - 3 * mean * d2 + 2 * n * mean * mean * mean) / (
+        n * var_pop * F.sqrt(var_pop)
+    )
+    kurt = (
+        d4 - 4 * mean * d3 + 6 * mean * mean * d2 - 3 * n * mean * mean * mean * mean
+    ) / (n * var_pop * var_pop) - 3
+    return m.select(
+        "l_returnflag",
+        "n",
+        mean.alias("mean_qty"),
+        skew.alias("skewness_qty"),
+        kurt.alias("kurtosis_qty"),
+    )
