@@ -374,3 +374,34 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"view": 0.05, "click": 0.2, "purchase": 1.0, "signup": 1.0, "error": 0.5}
     sampled = e.sampleBy("event_type", fractions, seed=7)
     return sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             AS distinct_users_so_far
+    FROM events
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count per window.
+
+    Spark has no COUNT(DISTINCT) window function — the idiomatic
+    spelling is size(collect_set() OVER w), which keeps the distinct
+    set in window state (bounded by group cardinality; at 100 TB use
+    approx sketches per bucket instead)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).alias("distinct_users_so_far"),
+    )
