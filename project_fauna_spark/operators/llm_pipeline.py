@@ -75,6 +75,14 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("copy_rank") == 1)
         .drop("copy_rank")
     )
+    # The cleaned set feeds BOTH sides of the near-dup self-join AND
+    # the final anti-join — without persistence Spark recomputes the
+    # scan+window 3× (verified via explain: 3 scans, 0 reuse).
+    # Spark's cache manager dedupes by logical plan, so repeated query
+    # invocations share one cache entry.
+    from pyspark.storagelevel import StorageLevel
+
+    exact_kept = exact_kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Near-dup candidates over shingle hashes (same 2-phase shape as
     # dedup_ngram_jaccard), then drop every pair's doc_b.
