@@ -91,3 +91,9 @@ def test_asof_join_is_single_shuffle_window(spark):
 
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
+
+
+def test_corpus_clean_reuses_cached_intermediate(spark):
+    """The cleaned corpus must be computed once (cache), not 3×."""
+    plan = plan_of(spark, "llm_corpus_clean")
+    assert "InMemoryTableScan" in plan
