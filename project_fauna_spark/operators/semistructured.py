@@ -405,3 +405,99 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.size(F.collect_set("user_id").over(w)).alias("distinct_users_so_far"),
     )
+
+
+@register(
+    "scalar_date_fns2",
+    oracle="""
+    SELECT event_id,
+           CAST(quarter(ts) AS INT) AS q,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(minute(ts) AS INT) AS mi,
+           CAST(second(ts) AS INT) AS s,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+           strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(ts AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m
+    FROM events WHERE event_id < 2000
+    """,
+)
+def scalar_date_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date battery 2: quarter/hour/minute/second extraction, epoch
+    seconds, last_day, add_months (events dates are mid-month, so the
+    engines' month-end clamping conventions never engage)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.quarter(ts).alias("q"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("s"),
+        F.unix_timestamp(F.date_trunc("second", ts)).alias("epoch_s"),
+        F.date_format(F.last_day(ts.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(ts.cast("date"), 2), "yyyy-MM-dd").alias("plus2m"),
+    )
+
+
+@register(
+    "cdc_scd2_intervals",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31')
+             AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 effective dating: each change record gets
+    [valid_from, valid_to) from its own date and the NEXT change's
+    date (lead), open-ended for the current row — the standard CDC →
+    dimension-history build, one window pass."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "cdc_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key (CDC compaction): keep each key's newest
+    row by (ts, id) — WindowGroupLimit makes this a partial top-1
+    before the shuffle, the scalable log-compaction plan."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
