@@ -501,3 +501,85 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         )
     )
+
+
+@register(
+    "semi_map_hof",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id,
+           ['k2=' || CAST(k * 2 AS VARCHAR),
+            'type=' || upper(event_type)] AS entries_sorted,
+           2 AS n_entries
+    FROM src
+    """,
+)
+def semi_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values, map_filter,
+    map_concat — compared via sorted entry lists (DuckDB has no map
+    HOFs, so the oracle constructs the expected entries directly).
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    base = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("drop_me"), F.lit(None).cast("string"),
+    )
+    extra = F.create_map(
+        F.lit("k2"), (F.get_json_object("props", "$.k").cast("long") * 2).cast("string")
+    )
+    m = F.map_concat(
+        F.map_filter(
+            F.transform_values(base, lambda k, v: F.upper(v)), lambda k, v: v.isNotNull()
+        ),
+        extra,
+    )
+    entries = F.array_sort(
+        F.transform(F.map_entries(m), lambda s: F.concat_ws("=", s.key, s.value))
+    )
+    return e.select(
+        "event_id",
+        entries.alias("entries_sorted"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "set_union_missing_columns",
+    oracle="""
+    SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS src,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey < 500
+    UNION ALL
+    SELECT event_id AS id, value AS amount, 'event' AS src,
+           CAST(NULL AS VARCHAR) AS status
+    FROM events WHERE event_id < 500
+    """,
+)
+def set_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: unionByName(allowMissingColumns=True)
+    fills absent columns with NULL — the append path when upstream
+    schemas drift."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("amount"),
+            F.lit("order").alias("src"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            F.col("event_id").alias("id"),
+            F.col("value").alias("amount"),
+            F.lit("event").alias("src"),
+        )
+    )
+    return o.unionByName(e, allowMissingColumns=True)
