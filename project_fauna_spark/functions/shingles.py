@@ -1,0 +1,47 @@
+"""Word n-gram shingle expression builders (dedup/text primitives).
+
+PERFORMANCE-CRITICAL SHAPE: higher-order-function lambdas run
+interpreted, so any expression referenced *inside* a lambda (e.g.
+``element_at(split(text), i)``) re-evaluates per element — an O(len²)
+trap.  Zipping the words array against its own shifted slices
+evaluates ``split`` only a constant number of times per row; the
+lambda then touches nothing but its own element.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _zipped_trigrams(text: Column) -> Column:
+    """Word-triple struct array: [(w[i], w[i+1], w[i+2])] for all i."""
+    words = F.split(text, " ")
+    k = F.greatest(F.size(words) - 2, F.lit(0))
+    zipped = F.arrays_zip(
+        words.alias("w1"),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))).alias("w2"),
+        F.slice(words, 3, k).alias("w3"),
+    )
+    return F.slice(zipped, 1, k)
+
+
+def shingles(text: Column) -> Column:
+    """Distinct word 3-gram shingles of a text column (built-ins only)."""
+    grams = F.transform(
+        _zipped_trigrams(text), lambda s: F.concat_ws(" ", s.w1, s.w2, s.w3)
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(text: Column, seed: int = 0) -> Column:
+    """Distinct xxhash64 values of word 3-gram shingles.
+
+    Hashes the word triple directly (no string concatenation) — the
+    cheap representation for candidate generation: 8-byte join keys
+    instead of ~30-char strings.  Collisions (~2⁻⁶⁴) can only create
+    spurious candidates, which exact verification removes.
+    """
+    grams = F.transform(
+        _zipped_trigrams(text), lambda s: F.xxhash64(s.w1, s.w2, s.w3, F.lit(seed))
+    )
+    return F.array_distinct(grams)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.io import load_table
-from project_fauna_spark.operators.dedup import shingle_hashes
+from project_fauna_spark.functions.shingles import shingle_hashes
 from project_fauna_spark.plans.registry import register
 
 
