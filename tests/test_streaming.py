@@ -237,3 +237,52 @@ def test_stream_stream_interval_join(spark):
         ).select("purchase_id", "click_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered events (same id)
+    across micro-batches collapse to one — the at-least-once →
+    effectively-once dedup for replayed sources."""
+    import glob, shutil, uuid
+    from datetime import datetime
+    from pyspark.sql import functions as F, types as T
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def write_batch(fname, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / fname))
+        part = glob.glob(str(tmp_path / fname / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{fname}.parquet"))
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    write_batch("b1", [(1, t0), (2, t0), (2, t0)])  # dup within batch
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 re-delivers event 2 and adds event 3
+        write_batch("b2", [(2, t0), (3, t0)])
+        q.processAllAvailable()
+        ids = sorted(r["event_id"] for r in spark.table(name).collect())
+        assert ids == [1, 2, 3]  # each id exactly once across batches
+    finally:
+        q.stop()
