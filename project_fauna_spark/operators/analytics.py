@@ -503,3 +503,37 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness_qty"),
         kurt.alias("kurtosis_qty"),
     )
+
+
+@register(
+    "sql_interface_demo",
+    oracle="""
+    WITH ranked AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def sql_interface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: temp views + one multi-clause
+    ``spark.sql`` statement (join → window → filter) — everything the
+    DataFrame queries do is equally expressible as SQL text."""
+    from project_fauna_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY c.c_mktsegment
+                                    ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+        FROM ranked WHERE rn <= 5
+        """
+    )

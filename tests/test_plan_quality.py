@@ -97,3 +97,17 @@ def test_corpus_clean_reuses_cached_intermediate(spark):
     """The cleaned corpus must be computed once (cache), not 3×."""
     plan = plan_of(spark, "llm_corpus_clean")
     assert "InMemoryTableScan" in plan
+
+
+def test_dedup_self_joins_use_cache(spark):
+    """Self-joined dedup intermediates must come from the cache."""
+    for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh"]:
+        plan = plan_of(spark, name)
+        assert "InMemoryTableScan" in plan, name
+
+
+def test_q6_pushes_all_predicates(spark):
+    plan = plan_of(spark, "q_revenue_forecast")
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, col
