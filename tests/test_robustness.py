@@ -54,3 +54,36 @@ def test_queries_run_at_smoke_scale(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
     assert df.count() >= 0  # no crash; schema resolvable
     assert len(df.columns) > 0
+
+
+def test_registry_consistency():
+    """Every oracle key has a query; rows-only queries are the known
+    hash/sketch/RNG set (a new unoracled query must be a deliberate
+    choice, not a typo)."""
+    from project_fauna_spark.plans import ORACLE, QUERIES
+
+    assert set(ORACLE) <= set(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLE)
+    expected_rows_only = {
+        "agg_approx_count_distinct",
+        "semi_percentile_approx",
+        "dedup_minhash_lsh",
+        "dedup_simhash64",
+        "text_hashed_tf",
+        "mm_frame_sample",
+        "mm_decode_features",
+        "sample_bernoulli",
+        "sample_stratified",
+        "ml_tfidf_pipeline",
+        "ml_minhash_lsh",
+        "ml_brp_lsh_neighbors",
+    }
+    assert rows_only == expected_rows_only, rows_only ^ expected_rows_only
+
+
+def test_query_names_are_stable_identifiers():
+    from project_fauna_spark.plans import QUERIES
+    import re
+
+    for name in QUERIES:
+        assert re.fullmatch(r"[a-z][a-z0-9_]*", name), name
