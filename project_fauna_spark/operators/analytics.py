@@ -170,7 +170,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subq_scalar",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           o_totalprice - (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                                   / COUNT(*) FROM orders) AS delta_vs_mean
     FROM orders
     """,

@@ -76,8 +76,8 @@ def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_from_json_struct",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           (json_extract(props, '$.k') IS NOT NULL) AS parsed_ok
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS parsed_ok
     FROM events
     """,
 )

@@ -43,6 +43,7 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
     return d.select(
         "doc_id",
+        "text",
         payload.alias("payload"),
         F.struct(
             F.lit("application/x-fauna-blob").alias("content_type"),
@@ -75,7 +76,10 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
         F.sha2("payload", 256).alias("payload_sha256"),
-        F.decode(F.substring("payload", 1, 4), "UTF-8").alias("magic4"),
+        # Character-based on BOTH sides (oracle: substr(text,1,4)) —
+        # byte-slicing UTF-8 payloads would split multibyte sequences
+        # and DuckDB 1.0 cannot octet-slice BLOBs anyway.
+        F.substring("text", 1, 4).alias("magic4"),
         F.ceil(F.col("media_meta.n_bytes") / 64.0).cast("long").alias("n_frames"),
     )
 

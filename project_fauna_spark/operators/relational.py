@@ -532,8 +532,10 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     )
     SELECT l_returnflag, l_linestatus, n,
-           CAST(s1 AS DOUBLE) / n AS mean_qty,
-           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS var_qty
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mean_qty,
+           (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+           / (n - 1) AS var_qty
     FROM g
     """,
 )

@@ -31,8 +31,14 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     t = target.alias("t")
     u = updates.alias("u")
     joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    # True MERGE "updates win" semantics: presence of the update ROW
+    # (key non-null) decides, per-row not per-column — an update row
+    # carrying NULL in a column nulls out the target value, exactly as
+    # MERGE INTO ... UPDATE SET col = u.col would.
+    matched = F.col(f"u.{key}").isNotNull()
     merged = [
-        F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols
+        F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in cols
     ]
     return joined.select(*merged)
 
@@ -48,8 +54,8 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
       FROM customer WHERE c_custkey >= 50 AND c_custkey < 150
     )
     SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
-           COALESCE(u.c_name, t.c_name) AS c_name,
-           COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal
     FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
     """,
 )
