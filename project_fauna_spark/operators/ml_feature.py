@@ -36,25 +36,28 @@ def ml_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled implementation).
     """
     from pyspark.ml.feature import IDF, HashingTF
+    from pyspark.ml.functions import vector_to_array
 
     toks = _tokenized(spark, sf_dir)
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 10).transform(toks)
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     scored = idf_model.transform(tf)
 
-    @F.udf("struct<bucket:int, score:double>")
-    def top_bucket(v):
-        if v is None or v.numNonzeros() == 0:
-            return (-1, 0.0)
-        import numpy as np
-
-        i = int(np.argmax(v.toArray()))
-        return (i, float(v[i]))
-
+    # JVM-side argmax: vector_to_array is a Scala UDF (no Python
+    # round-trip) and array_max/array_position are codegen'd
+    # expressions — first-max-index like np.argmax, -1 on all-zero
+    # vectors, with zero rows leaving the JVM.
+    arr = vector_to_array(F.col("tfidf"))
+    mx = F.array_max(arr)
     out = scored.select(
-        "doc_id", F.size("tokens").cast("long").alias("n_tokens"), top_bucket("tfidf").alias("top")
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.when(mx > 0.0, (F.array_position(arr, mx) - 1).cast("int"))
+        .otherwise(F.lit(-1))
+        .alias("bucket"),
+        F.when(mx > 0.0, mx).otherwise(F.lit(0.0)).alias("score"),
     )
-    return out.select("doc_id", "n_tokens", "top.bucket", "top.score")
+    return out
 
 
 @register("ml_minhash_lsh")  # seeded sketch → rows-only check

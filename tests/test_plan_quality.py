@@ -76,6 +76,19 @@ def test_pure_expression_ops_have_no_python(spark):
         assert "MapInPandas" not in plan, name
 
 
+def test_no_rowwise_python_udf_anywhere(spark):
+    """Repo invariant: NO registered query may contain a row-at-a-time
+    Python UDF (BatchEvalPython).  Arrow-batched stages
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
+    only sanctioned Python evaluation."""
+    offenders = []
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
+
+
 def test_pandas_stages_are_arrow_not_rowwise(spark):
     plan = plan_of(spark, "udf_pandas_scalar")
     assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
