@@ -157,22 +157,32 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= 3)
 
 
+# Fixed fold width for the two-level centroid accumulation: level 1
+# folds ≤ _FOLD_K vectors per (label, vec_id div K) bucket, level 2
+# folds the bucket partials in bucket order.  Bounded per-group state
+# at every level, deterministic operation order at every level.
+_FOLD_K = 256
+
+_SQL_ZIPADD = "list_transform(range(1, len(a)+1), k -> a[k] + b[k])"
+
+
 @register(
     "sim_label_centroid",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings),
-    grouped AS (
-      SELECT label, list(emb ORDER BY vec_id) AS embs, COUNT(*) AS n
-      FROM e GROUP BY label
+    b AS (
+      SELECT label, vec_id // {_FOLD_K} AS bkt,
+             list_reduce(list(emb ORDER BY vec_id), (a, b) -> {_SQL_ZIPADD}) AS part,
+             COUNT(*) AS n1
+      FROM e GROUP BY label, vec_id // {_FOLD_K}
     ),
-    cent AS (
+    g AS (
       SELECT label,
-             list_transform(
-               list_reduce(embs,
-                           (a, b) -> list_transform(range(1, len(a)+1), k -> a[k] + b[k])),
-               s -> s / n) AS centroid
-      FROM grouped
-    )
+             list_reduce(list(part ORDER BY bkt), (a, b) -> {_SQL_ZIPADD}) AS s,
+             CAST(SUM(n1) AS BIGINT) AS n
+      FROM b GROUP BY label
+    ),
+    cent AS (SELECT label, list_transform(s, x -> x / n) AS centroid FROM g)
     SELECT e.vec_id, e.label,
            {_SQL_COS.format(a='e.emb', b='c.centroid')} AS cos_to_centroid
     FROM e JOIN cent c ON e.label = c.label
@@ -181,35 +191,50 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine of every vector to its label centroid (IVF pattern).
 
-    Centroid = elementwise mean, accumulated by folding the label's
-    vectors in vec_id order — a fixed fold order makes the double sum
-    reproducible AND bit-identical to the oracle's identical fold.
-    (Decimal accumulation is not usable here: DuckDB's double→decimal
-    cast rounds through a double multiply, so the two engines disagree
-    in the last ulps.)  The centroid table is tiny → broadcast; scoring
-    is one linear pass.  At 100 TB, per-label collect_list bounds at
-    the label group size — for unbounded groups, switch to fixed-order
-    partial folds per partition range.
+    Centroid = elementwise mean via a TWO-LEVEL fixed-order fold:
+    level 1 groups by (label, vec_id div {K}) and folds each bucket's
+    ≤ {K} vectors in vec_id order; level 2 folds the bucket partials
+    in bucket order.  Per-group state is bounded by the fold width at
+    level 1 and by n/{K} partials at level 2 (add levels for more
+    headroom) — no unbounded collect_list of a whole label's vectors.
+    The fold order is fixed at both levels, so the double sums are
+    reproducible AND bit-identical to the oracle's identical two-level
+    fold.  (Decimal accumulation is not usable here: DuckDB's
+    double→decimal cast rounds through a double multiply, so the two
+    engines disagree in the last ulps.)  The centroid table is tiny →
+    broadcast; scoring is one linear pass.
     """
     e = load_table(spark, sf_dir, "embeddings")
     demb = F.transform("embedding", lambda x: x.cast("double"))
-    grouped = e.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("vec_id"), demb.alias("emb")))),
-            lambda s: s.emb,
-        ).alias("embs"),
-        F.count("*").alias("n"),
+
+    def _fold_sorted(col: str) -> Column:
+        # ((x1 + x2) + x3) + ... over the struct-sorted list's arrays.
+        embs = F.transform(F.array_sort(F.col(col)), lambda s: s.emb)
+        return F.aggregate(
+            F.slice(embs, 2, F.size(embs) - 1),
+            F.element_at(embs, 1),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        )
+
+    lvl1 = (
+        e.groupBy("label", F.expr(f"vec_id div {_FOLD_K}").alias("bkt"))
+        .agg(
+            F.collect_list(F.struct(F.col("vec_id"), demb.alias("emb"))).alias("vs"),
+            F.count("*").alias("n1"),
+        )
+        .select("label", "bkt", _fold_sorted("vs").alias("part"), "n1")
     )
-    cent = grouped.select(
+    lvl2 = (
+        lvl1.groupBy("label")
+        .agg(
+            F.collect_list(F.struct(F.col("bkt").alias("vec_id"), F.col("part").alias("emb"))).alias("ps"),
+            F.sum("n1").alias("n"),
+        )
+        .select("label", _fold_sorted("ps").alias("s"), "n")
+    )
+    cent = lvl2.select(
         "label",
-        F.transform(
-            F.aggregate(
-                F.slice("embs", 2, F.size("embs") - 1),
-                F.element_at("embs", 1),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ),
-            lambda s: s / F.col("n"),
-        ).alias("centroid"),
+        F.transform("s", lambda x: x / F.col("n")).alias("centroid"),
     )
     return (
         e.join(F.broadcast(cent), "label")
