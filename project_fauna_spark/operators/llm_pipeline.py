@@ -133,16 +133,44 @@ def llm_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shard_id = floor(tokens-before-this-doc / budget) — the standard
     streaming-pack approximation (a doc may straddle a boundary; exact
-    bin-packing is NP-hard and needless here).  One window cumsum per
-    language partition = ONE shuffle; at 100 TB add a coarse
-    range-bucket to the partition key to bound partition width.
+    bin-packing is NP-hard and needless here).
+
+    De-skewed cumsum: a bare ``PARTITION BY lang`` window funnels a
+    whole language through ONE task at 100 TB.  Instead the running
+    sum is decomposed over a composite key — (1) cumsum within
+    (lang, doc_id div B) buckets of ≤ B rows, (2) a TINY per-bucket
+    totals table (one row per bucket) gets its own per-lang cumsum to
+    produce each bucket's starting offset, (3) broadcast-join the
+    offsets back.  Token counts are integers, so the decomposition is
+    exact — output identical to the single-window spelling the oracle
+    uses.
     """
+    bucket_rows = 8192  # ≤ B docs per window partition
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    ).withColumn("bkt", F.expr(f"doc_id div {bucket_rows}"))
+
+    w_local = (
+        W.partitionBy("lang", "bkt").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+
+    w_bkt = (
+        W.partitionBy("lang").orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = (
+        toks.groupBy("lang", "bkt")
+        .agg(F.sum("n_tokens").alias("bkt_total"))
+        .withColumn("offset", F.sum("bkt_total").over(w_bkt) - F.col("bkt_total"))
+        .select("lang", "bkt", "offset")
+    )
+
+    packed = local.join(F.broadcast(offsets), ["lang", "bkt"]).withColumn(
+        "cum_tokens", F.col("local_cum") + F.col("offset")
+    )
     return packed.select(
         "doc_id",
         "lang",
