@@ -328,33 +328,91 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Three 2-bit sign-hyperplane bands over dims (1,2), (3,4), (5,6) —
+# a pair is a CANDIDATE if ANY band agrees (OR-amplification).
+_SQL_SIGN_BANDS = """[
+      (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END),
+      (CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END),
+      (CASE WHEN embedding[5] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END)
+    ]"""
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {_SQL_SIGN_BANDS} AS bands
+      FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, label,
+             generate_subscripts(bands, 1) AS band_id, unnest(bands) AS bh
+      FROM e
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+      FROM x a JOIN x b
+        ON a.label = b.label AND a.band_id = b.band_id AND a.bh = b.bh
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, c.label
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.4 within a label block.
+    """Embedding near-dup pairs: cosine ≥ 0.4, banded sign-LSH blocking.
 
-    Label is the blocking key (same pattern as LSH buckets at scale:
-    candidates only within a partitionable block, never all-pairs).
-    Output is ids-only: the threshold decision is stable across engines
-    even when the last float ulps differ.
+    Blocking on label alone is O(n²/L) — quadratic at 100 TB when
+    label cardinality is low.  This is the hyperplane-LSH banding
+    scheme (the cosine twin of MinHash banding): each vector gets 3
+    bands of 2 sign bits; candidates are pairs agreeing on label +
+    ANY band (OR-amplification keeps recall high where a single
+    AND-composed bucket would miss most true pairs at θ ≈ 66°).  The
+    candidate join is EQUI on (label, band_id, band_hash) and ships
+    IDS ONLY — embeddings are joined back by id for the exact cosine
+    verify on the (much smaller) distinct candidate set, so the wide
+    vectors never ride the band shuffle.  The oracle blocks on the
+    identical CASE-expression bands, so both engines see the same
+    candidate set; ids-only output keeps the threshold decision
+    stable across engines.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("emb_a")
+
+    def band_hash(i: int):  # 2 sign bits over dims (2i+1, 2i+2)
+        hi = F.when(F.element_at("embedding", 2 * i + 1) >= 0, F.lit(2)).otherwise(F.lit(0))
+        lo = F.when(F.element_at("embedding", 2 * i + 2) >= 0, F.lit(1)).otherwise(F.lit(0))
+        return hi + lo
+
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.array(*[band_hash(i) for i in range(3)])).alias("band_id", "bh"),
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_b")
+    a = x.select(F.col("vec_id").alias("vec_a"), "label", "band_id", "bh")
+    b = x.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("bh").alias("bh_b"),
     )
-    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+    cand = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("bh") == F.col("bh_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", "label")
+        .distinct()
+    )
+    emb = e.select("vec_id", "embedding")
     return (
-        pairs.withColumn("cos", cosine_sim(F.col("emb_a"), F.col("emb_b")))
-        .filter(F.col("cos") >= 0.4)
+        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")), "vec_b")
+        .filter(cosine_sim(F.col("emb_a"), F.col("emb_b")) >= 0.4)
         .select("vec_a", "vec_b", "label")
     )
