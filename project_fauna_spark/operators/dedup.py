@@ -205,12 +205,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard ≥ 0.5.  Cost: O(docs·perms) + bucket-local
     pairs — no all-pairs stage anywhere.  xxhash64-seeded → Spark-
     deterministic, not SQL-portable → rows-only check.
+
+    Shuffle discipline: the band self-join ships (doc_id, band_id,
+    band_hash) ONLY — 24 bytes/row, not the 32-long signature + the
+    shingle array.  The wide sketch table is persisted once and joined
+    back BY ID for just the distinct surviving candidates, so sketch
+    width never multiplies the band shuffle.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", shingle_hashes(F.col("text")).alias("sgl"))
     # Signatures as per-row higher-order expressions: sig[s] =
     # min(xxhash64(shingle_hash, s)) over the doc's shingle-hash ARRAY —
     # no explode, no shuffle; the whole sketch stage is a narrow map.
+    from pyspark.storagelevel import StorageLevel
+
     sig = sh.select(
         "doc_id",
         "sgl",
@@ -220,11 +228,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for s in range(N_PERM)
             ]
         ).alias("sig"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Narrow band table: ids + band key only.
     bands = sig.select(
         "doc_id",
-        "sig",
-        "sgl",
         F.explode(
             F.array(
                 *[
@@ -236,30 +243,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "sgl", "band.band_id", "band.band_hash")
-    # Self-joined: persist so sketches compute once for both sides.
-    from pyspark.storagelevel import StorageLevel
-
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("doc_id", "band.band_id", "band.band_hash")
     a, b = bands.alias("a"), bands.alias("b")
-    # Bucket-collision candidates; sig + shingle arrays ride along so
-    # estimation AND exact verification need no lookup joins.
-    cands = (
+    ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.sgl").alias("sgl_a"),
-            F.col("b.sgl").alias("sgl_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Fetch sketches by id for survivors only.
+    cands = ids.join(
+        sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), F.col("sgl").alias("sgl_a")
+        ),
+        "doc_a",
+    ).join(
+        sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), F.col("sgl").alias("sgl_b")
+        ),
+        "doc_b",
     )
     est = (
         F.aggregate(

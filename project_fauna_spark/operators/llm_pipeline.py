@@ -147,9 +147,18 @@ def llm_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     bucket_rows = 8192  # ≤ B docs per window partition
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
-    ).withColumn("bkt", F.expr(f"doc_id div {bucket_rows}"))
+    from pyspark.storagelevel import StorageLevel
+
+    # Both the local cumsum and the offsets table fold over the same
+    # tokenized rows — persist the (narrow) token counts so the text
+    # split runs once, not twice.
+    toks = (
+        d.select(
+            "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        )
+        .withColumn("bkt", F.expr(f"doc_id div {bucket_rows}"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     w_local = (
         W.partitionBy("lang", "bkt").orderBy("doc_id")
