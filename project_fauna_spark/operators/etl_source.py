@@ -21,7 +21,7 @@ from project_fauna_spark.io import load_table
 from project_fauna_spark.operators.reference_queries import AS_OF, _sql_epoch_to_iso
 from project_fauna_spark.pipeline import transform_details
 from project_fauna_spark.plans.registry import register
-from project_fauna_spark.sinks.batch_post import post_batches_with_receipts
+from project_fauna_spark.sinks.batch_post import post_batches_globally_indexed
 from project_fauna_spark.sources.http import (
     FileBackedTransport,
     RetryPolicy,
@@ -163,16 +163,18 @@ def etl_fetch_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def etl_batch_post(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 + T7: chunked batch-POST sink, receipt rows.
 
-    Single sorted partition makes the chunk boundaries deterministic
-    (the distributed sink chunks per partition; determinism of batch
-    CONTENTS is a test-only property, sizes ≤ clamp always hold).
+    Globally-indexed distributed sink: batch boundaries follow a
+    global id-order row numbering (bucketed two-level cumsum — no
+    repartition(1) funnel), one POST per batch_id group, posts spread
+    across executors.  Receipts are identical to a sequential
+    single-writer chunking, which is what the oracle describes.
     """
     root = _fixture_dir(spark, sf_dir)
     transformed = etl_fetch_transform(spark, sf_dir)
-    one = transformed.repartition(1).sortWithinPartitions("id")
-    return post_batches_with_receipts(
-        one.withColumn("friends", F.col("friends")),
+    return post_batches_globally_indexed(
+        transformed,
         lambda: FileBackedTransport(root),
+        order_col="id",
         batch_size=25,
         policy=FAST,
     )
