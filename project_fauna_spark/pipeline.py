@@ -17,7 +17,7 @@ from project_fauna_spark.functions import (
     split_friends,
     validate_iso8601_utc,
 )
-from project_fauna_spark.sinks.batch_post import post_batches_with_receipts
+from project_fauna_spark.sinks.batch_post import post_batches_globally_indexed
 from project_fauna_spark.sources.http import (
     RetryPolicy,
     TransportFactory,
@@ -95,6 +95,8 @@ def run_pipeline(
     transformed = transform_details(details, as_of)
     # Serialize arrays for the JSON sink the way the reference does.
     serializable = transformed.withColumn("friends", F.to_json("friends"))
-    return post_batches_with_receipts(
-        serializable, transport_factory, batch_size=batch_size, policy=policy
+    # Globally-indexed chunking: batch count is ceil(n/size) exactly
+    # (reference T7/T8 semantics), posts still fan out per batch.
+    return post_batches_globally_indexed(
+        serializable, transport_factory, order_col="id", batch_size=batch_size, policy=policy
     )

@@ -77,37 +77,90 @@ class RetryPolicy:
         return base + (rng or random).uniform(0.0, self.jitter_max)
 
 
+def _transport_takes_headers(transport: Transport) -> bool:
+    """True if the transport callable accepts a third (headers) arg."""
+    import inspect
+
+    try:
+        sig = inspect.signature(transport)
+    except (TypeError, ValueError):
+        return False
+    positional = [
+        p
+        for p in sig.parameters.values()
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    has_var = any(p.kind == p.VAR_POSITIONAL for p in sig.parameters.values())
+    return has_var or len(positional) >= 3
+
+
 def request_with_retry(
     transport: Transport,
     method: str,
     path: str,
     policy: RetryPolicy = RetryPolicy(),
     sleep: Callable[[float], None] = time.sleep,
+    req_id: str | None = None,
+    log: Callable[[str], None] | None = None,
 ) -> Response:
-    """One logical request with the full reliability taxonomy applied."""
+    """One logical request with the full reliability taxonomy applied.
+
+    X3 tracing (reference http_client.py:93-96,149-155): every logical
+    request carries a UUID ``X-Request-Id`` header (passed to
+    transports that accept a headers argument; 2-arg transports keep
+    working), and retry / give-up / fatal transitions emit structured
+    ``[req#<id>]`` stderr lines in the reference's format.
+    """
+    import sys
+    import uuid
+
+    rid = req_id or str(uuid.uuid4())
+    headers = {"X-Request-Id": rid}
+    emit = log or (lambda msg: print(msg, file=sys.stderr))
+    takes_headers = _transport_takes_headers(transport)
+
     attempt = 0
     while True:
         attempt += 1
         try:
-            status, body = transport(method, path)
+            if takes_headers:
+                status, body = transport(method, path, headers)
+            else:
+                status, body = transport(method, path)
         except Exception as exc:  # network-layer error: retryable
             if attempt > policy.retries:
+                emit(f"[req#{rid}] [giving up] {method} {path}: {exc}")
                 raise HttpError(-1, f"transport error after {attempt} attempts: {exc}") from exc
-            sleep(policy.sleep_seconds(attempt))
+            delay = policy.sleep_seconds(attempt)
+            emit(
+                f"[req#{rid}] [retry {attempt}/{policy.retries}] {method} {path} "
+                f"failed: network: {exc}. Sleeping {delay:.2f}s"
+            )
+            sleep(delay)
             continue
         if status == 422:
             try:
                 detail = json.loads(body).get("detail")
             except (ValueError, AttributeError):
                 detail = body
+            emit(f"[req#{rid}] 422 validation error on {method} {path}: {detail}")
             raise ValidationHttpError(detail)
         if 400 <= status < 500:
+            emit(f"[req#{rid}] [fatal] {method} {path} returned {status}, not retrying")
             raise HttpError(status, body[:200])
         if status in RETRYABLE_STATUSES:
             if attempt > policy.retries:
+                emit(f"[req#{rid}] [giving up] {method} {path}: HTTP {status}")
                 raise HttpError(status, f"giving up after {attempt} attempts")
-            sleep(policy.sleep_seconds(attempt))
+            delay = policy.sleep_seconds(attempt)
+            emit(
+                f"[req#{rid}] [retry {attempt}/{policy.retries}] {method} {path} "
+                f"failed: HTTP {status}. Sleeping {delay:.2f}s"
+            )
+            sleep(delay)
             continue
+        if attempt > 1:
+            emit(f"[req#{rid}] succeeded after {attempt} attempt(s)")
         return status, body
 
 
@@ -212,6 +265,43 @@ def fetch_details_df(
 # ---------------------------------------------------------------------------
 # Offline transports (tests / local runs)
 # ---------------------------------------------------------------------------
+
+
+@dataclass
+class UrllibTransport:
+    """Real-HTTP transport on the stdlib (no extra dependencies).
+
+    GETs hit ``base_url + path``; POSTs send the body (our POST
+    convention passes the JSON body as the second argument) to the
+    sink path.  Per-request headers (X-Request-Id) are forwarded.
+    Timeout maps the reference's connect/read pair onto urllib's
+    single deadline (the stricter read timeout governs).
+    """
+
+    base_url: str
+    sink_path: str = "/animals/v1/home"
+    connect_timeout: float = 5.0
+    read_timeout: float = 30.0
+
+    def __call__(self, method: str, path: str, headers: dict | None = None) -> Response:
+        import urllib.error
+        import urllib.request
+
+        if method.startswith("POST"):
+            url = self.base_url + self.sink_path
+            req = urllib.request.Request(
+                url, data=path.encode("utf-8"), method="POST",
+                headers={"Content-Type": "application/json", **(headers or {})},
+            )
+        else:
+            req = urllib.request.Request(
+                self.base_url + path, method=method, headers=headers or {}
+            )
+        try:
+            with urllib.request.urlopen(req, timeout=self.read_timeout) as resp:
+                return resp.status, resp.read().decode("utf-8", errors="replace")
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode("utf-8", errors="replace")
 
 
 @dataclass

@@ -95,6 +95,51 @@ def test_4xx_fails_fast():
     assert len(calls) == 1  # X2: no retry on 4xx
 
 
+def test_request_id_header_reaches_transport():
+    """X3: a 3-arg transport receives the X-Request-Id header; an
+    explicit req_id is propagated verbatim."""
+    seen = []
+
+    def t(method, path, headers):
+        seen.append(headers)
+        return 200, "{}"
+
+    request_with_retry(t, "GET", "/x", FAST)
+    assert "X-Request-Id" in seen[0] and len(seen[0]["X-Request-Id"]) == 36
+
+    request_with_retry(t, "GET", "/x", FAST, req_id="fixed-id-123")
+    assert seen[1]["X-Request-Id"] == "fixed-id-123"
+
+
+def test_retries_log_request_id():
+    """X3: retry and give-up transitions log structured [req#id] lines
+    (reference http_client.py:149-155)."""
+    lines = []
+    flaky = FlakyTransport(lambda m, p: (200, "{}"), n_failures=2)
+    request_with_retry(
+        flaky, "GET", "/x", FAST, sleep=lambda s: None, req_id="rid-1", log=lines.append
+    )
+    retry_lines = [l for l in lines if "[retry" in l]
+    assert len(retry_lines) == 2
+    assert all(l.startswith("[req#rid-1]") for l in retry_lines)
+    assert any("succeeded after 3 attempt(s)" in l for l in lines)
+
+    lines.clear()
+    always_500 = lambda method, path: (500, "boom")
+    with pytest.raises(HttpError):
+        request_with_retry(
+            always_500, "GET", "/x", FAST, sleep=lambda s: None, req_id="rid-2", log=lines.append
+        )
+    assert any(l.startswith("[req#rid-2] [giving up]") for l in lines)
+
+    lines.clear()
+    with pytest.raises(HttpError):
+        request_with_retry(
+            lambda m, p: (404, "nope"), "GET", "/x", FAST, req_id="rid-3", log=lines.append
+        )
+    assert any("[fatal]" in l and "not retrying" in l for l in lines)
+
+
 def test_backoff_schedule():
     p = RetryPolicy()
     import random
