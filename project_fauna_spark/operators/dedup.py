@@ -25,7 +25,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.functions.shingles import shingle_hashes, shingles
 from project_fauna_spark.functions.vectors import cosine_sim
@@ -422,3 +422,97 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine_sim(F.col("emb_a"), F.col("emb_b")) >= 0.4)
         .select("vec_a", "vec_b", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup (iterative min-label propagation)
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20  # >= max component diameter we'll ever converge over
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS MATERIALIZED ({_SQL_SHINGLES}),
+    ex AS MATERIALIZED (SELECT doc_id, len(sgl) AS n, unnest(sgl) AS g FROM sh),
+    pairs AS MATERIALIZED (
+      -- inverted-index join (same exact Jaccard over distinct
+      -- shingles, no all-pairs); MATERIALIZED so the recursion below
+      -- doesn't re-inline the pair computation every step
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+    ),
+    edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT w.doc_id, e.dst AS r FROM reach w JOIN edges e ON e.src = w.r
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS n_members
+    FROM comp
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components of the
+    3-gram-Jaccard pair graph, component id = min doc_id.
+
+    The principled upgrade of greedy pair-drop dedup (a drops b, b
+    drops c — greedy keeps c; components drop the whole chain).
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — converges in
+    O(component diameter) rounds, bounded at {_CC_MAX_ITERS}; each
+    round is ONE shuffle (join labels to edges + min-aggregate).
+    Labels and the (tiny) edge set persist across rounds; the
+    convergence probe is a scalar count per round, never a data
+    collect.  At 100 TB this is the standard large-graph CC loop
+    (alternating large-star/small-star has the same per-round shape).
+    The oracle computes the same fixpoint declaratively with a
+    recursive CTE.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("comp")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                F.col("comp").alias("prev_comp"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_changed = updated.filter(F.col("comp") != F.col("prev_comp")).count()
+        old = labels
+        labels = updated.select("doc_id", "comp")
+        old.unpersist()
+        if n_changed == 0:
+            break
+    w = W.partitionBy("component_id")
+    return labels.select(
+        "doc_id", F.col("comp").alias("component_id")
+    ).withColumn("n_members", F.count("*").over(w))

@@ -87,3 +87,43 @@ def test_query_names_are_stable_identifiers():
 
     for name in QUERIES:
         assert re.fullmatch(r"[a-z][a-z0-9_]*", name), name
+
+
+def test_connected_components_transitivity(spark):
+    """A near-dup CHAIN a-b, b-c must collapse into ONE component even
+    when (a, c) themselves are not a near-dup pair — the property
+    greedy pair-drop dedup lacks."""
+    from project_fauna_spark.plans import QUERIES
+
+    out = QUERIES["dedup_connected_components"](spark, "/root/testdata/sf0.01")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 500
+    # component id is always the component's min doc id
+    for r in rows.values():
+        assert r["component_id"] <= r["doc_id"]
+        assert rows[r["component_id"]]["component_id"] == r["component_id"]
+    # membership counts are consistent
+    from collections import Counter
+
+    sizes = Counter(r["component_id"] for r in rows.values())
+    for r in rows.values():
+        assert r["n_members"] == sizes[r["component_id"]]
+    assert any(n > 2 for n in sizes.values())  # at least one real chain
+
+
+def test_merge_upsert_null_overwrites(spark):
+    """MERGE 'updates win' semantics: an update row carrying NULL in a
+    column nulls out the target value (row presence decides, not
+    per-column coalesce)."""
+    from project_fauna_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old", 10.0), (2, "keep", 20.0)], "k long, name string, val double"
+    )
+    updates = spark.createDataFrame(
+        [(1, None, 99.0), (3, "new", 30.0)], "k long, name string, val double"
+    )
+    out = {r["k"]: r for r in merge_upsert(target, updates, "k").collect()}
+    assert out[1]["name"] is None and out[1]["val"] == 99.0  # NULL overwrote
+    assert out[2]["name"] == "keep"
+    assert out[3]["name"] == "new"
