@@ -77,6 +77,14 @@ class RetryPolicy:
         return base + (rng or random).uniform(0.0, self.jitter_max)
 
 
+# The reference ships TWO backoff profiles: the package client uses
+# base 0.25 / cap 4.0 (http_client.py:29-44 — RetryPolicy's defaults
+# above) while the standalone script uses base 0.5 / cap 8.0
+# (scripts/animals_etl.py:209).  Both are this one dataclass with
+# different constants:
+SCRIPT_RETRY_PROFILE = RetryPolicy(retries=6, backoff_base=0.5, backoff_cap=8.0)
+
+
 def _transport_takes_headers(transport: Transport) -> bool:
     """True if the transport callable accepts a third (headers) arg."""
     import inspect

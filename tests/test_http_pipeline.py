@@ -151,6 +151,20 @@ def test_backoff_schedule():
         assert b <= d <= b + 0.5
 
 
+def test_script_variant_backoff_profile():
+    """The standalone-script profile (reference scripts/animals_etl.py:209):
+    base 0.5, cap 8.0, same jitter — one constructor call away."""
+    from project_fauna_spark.sources.http import SCRIPT_RETRY_PROFILE as p
+
+    import random
+
+    rng = random.Random(0)
+    delays = [p.sleep_seconds(a, rng) for a in range(1, 7)]
+    bases = [min(8.0, 0.5 * 2 ** (a - 1)) for a in range(1, 7)]
+    for d, b in zip(delays, bases):
+        assert b <= d <= b + 0.5
+
+
 def test_paginated_ids(spark, api_dir):
     ids_df = paginated_ids_df(spark, lambda: FileBackedTransport(api_dir), policy=FAST)
     ids = sorted(r["id"] for r in ids_df.collect())
