@@ -1044,3 +1044,32 @@ def scalar_regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_caps"),
         F.size(F.split(F.col("p_name"), r"\s+")).cast("long").alias("n_name_words"),
     )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS qty_quartiles,
+           quantile_cont(l_extendedprice, [0.5, 0.95, 0.99]) AS price_tail
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    standard (1-f)·a[k] + f·a[k+1] interpolation — bit-identical on
+    identical input sets, verified including the 95/99 price tail.
+    Exact percentiles need the group's values sorted (one shuffle);
+    at 100 TB prefer ``percentile_approx`` (t-digest sketch,
+    map-combinable — registered as semi_percentile_approx) unless the
+    contract demands exactness.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D))").alias(
+            "qty_quartiles"
+        ),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").alias("price_tail"),
+    )

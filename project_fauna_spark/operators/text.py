@@ -309,3 +309,57 @@ def text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tf_sparse"),
         F.count("*").alias("n_buckets"),
     )
+
+
+@register(
+    "text_fuzzy_match_levenshtein",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang, substring(text, 1, 40) AS prefix,
+             string_split(text, ' ')[1] AS first_word
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
+    FROM k a JOIN k b
+      ON a.lang = b.lang AND a.first_word = b.first_word
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 10
+    """,
+)
+def text_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record matching: edit distance ≤ 10 over 40-char prefixes,
+    blocked on (lang, first word).
+
+    The blocking key keeps the candidate join EQUI (never all-pairs)
+    and the fixed-length prefix bounds the O(len²) Levenshtein cost
+    per pair — the standard entity-resolution recipe.  Both engines
+    define Levenshtein identically (unit insert/delete/substitute),
+    so the distance is integer-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 40).alias("prefix"),
+        F.split("text", " ")[0].alias("first_word"),
+    )
+    a = k.select(
+        F.col("doc_id").alias("doc_a"), "lang", "first_word", F.col("prefix").alias("pa")
+    )
+    b = k.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("first_word").alias("fw_b"),
+        F.col("prefix").alias("pb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("first_word") == F.col("fw_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "lang", F.levenshtein("pa", "pb").alias("dist"))
+        .filter(F.col("dist") <= 10)
+    )
