@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.io import load_table
-from project_fauna_spark.functions.shingles import shingle_hashes
+from project_fauna_spark.functions.shingles import shingle_hashes, shingles
 from project_fauna_spark.plans.registry import register
 
 
@@ -252,4 +252,138 @@ def llm_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
+    )
+
+
+@register(
+    "llm_chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, lang, words, unnest(range(0, len(words), 48)) AS start
+      FROM w
+    )
+    SELECT doc_id, lang,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           CAST(least(64, len(words) - start) AS INT) AS chunk_tokens,
+           array_to_string(words[start + 1 : start + 64], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training-window chunking: 64-token windows, stride
+    48 (16-token overlap) — the pretokenization chunker for context-
+    window packing and RAG indexing.
+
+    ``sequence()`` generates the start offsets per row and one
+    ``posexplode`` fans out chunks — no self-join, no Python, output
+    rows ≈ tokens/stride.  At 100 TB the fan-out multiplies rows
+    ~1.33× before the heavy (tokenizer) stage, which is exactly when
+    you want the parallelism.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    w = d.select("doc_id", "lang", words.alias("words"))
+    starts = w.select(
+        "doc_id",
+        "lang",
+        "words",
+        F.explode(F.sequence(F.lit(0), F.size("words") - 1, F.lit(48))).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        "lang",
+        F.expr("start div 48").alias("chunk_id"),
+        F.least(F.lit(64), F.size("words") - F.col("start")).cast("int").alias("chunk_tokens"),
+        F.array_join(F.slice("words", F.col("start") + 1, F.lit(64)), " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "llm_train_val_split",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, substring(md5(text), 1, 2) AS hk
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hk < 'cc' THEN 'train'
+                WHEN hk < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~80/10/10).
+
+    Split key = first md5 hex byte of the text, thresholded
+    lexicographically ('cc' = 204/256 ≈ 80%, 'e6' = 230/256 ≈ 90%) —
+    identical lowercase-hex md5 in both engines makes the assignment
+    portable and STABLE: re-ingesting the same document always lands
+    in the same split (the property row-number sampling lacks), and
+    exact duplicates land together, preventing train/test leakage
+    through copies.  Pure expression — no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(hk < "cc", F.lit("train"))
+        .when(hk < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "llm_decontaminate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, len(ws) - 1)]) AS sgl
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(sgl) AS g FROM sh),
+    ev AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id AS train_id, g FROM ex WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT ev.eval_id, tr.train_id, COUNT(*) AS n_shared
+      FROM ev JOIN tr ON ev.g = tr.g
+      GROUP BY ev.eval_id, tr.train_id
+      HAVING COUNT(*) >= 5
+    )
+    SELECT eval_id, COUNT(*) AS n_contaminating_docs,
+           CAST(MAX(n_shared) AS BIGINT) AS max_shared_shingles
+    FROM hits GROUP BY eval_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval docs (doc_id % 10 == 0) that
+    share ≥ 5 distinct 3-gram shingles with any training doc.
+
+    The canonical pre-training hygiene pass (n-gram overlap against
+    held-out benchmarks), shaped like the dedup candidate stage: one
+    inverted shingle index, eval×train equi-join ON THE GRAM, pair
+    aggregation with the overlap threshold — never eval×train
+    all-pairs.  At 100 TB the eval side is tiny (benchmarks), so the
+    gram join broadcasts the eval index.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
+    ev = ex.filter(F.col("doc_id") % 10 == 0).select(F.col("doc_id").alias("eval_id"), "g")
+    tr = ex.filter(F.col("doc_id") % 10 != 0).select(F.col("doc_id").alias("train_id"), "g")
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    return hits.groupBy("eval_id").agg(
+        F.count("*").alias("n_contaminating_docs"),
+        F.max("n_shared").alias("max_shared_shingles"),
     )
