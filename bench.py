@@ -44,6 +44,11 @@ HEADLINE = [
     "q_returned_items",
     "llm_corpus_clean",
     "llm_pack_shards",
+    # round 2 additions (baselines recorded in BASELINE.md same day)
+    "dedup_connected_components",
+    "llm_chunk_documents",
+    "llm_decontaminate",
+    "llm_train_val_split",
 ]
 
 
