@@ -486,7 +486,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     d = load_table(spark, sf_dir, "documents")
-    labels = d.select("doc_id", F.col("doc_id").alias("comp")).persist(
+    # Iterate ONLY over nodes that appear in an edge — near-dup'd docs
+    # are a tiny fraction of the corpus, so the per-round join state is
+    # |paired docs|, not |corpus|; singletons rejoin at the end.
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("comp")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     for _ in range(_CC_MAX_ITERS):
@@ -513,6 +517,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_changed == 0:
             break
     w = W.partitionBy("component_id")
-    return labels.select(
+    clustered = labels.select(
         "doc_id", F.col("comp").alias("component_id")
-    ).withColumn("n_members", F.count("*").over(w))
+    ).withColumn("n_members", F.count("*").over(w).cast("long"))
+    singletons = (
+        d.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component_id"),
+            F.lit(1).cast("long").alias("n_members"),
+        )
+    )
+    return clustered.unionAll(singletons)
