@@ -47,6 +47,11 @@ def test_empty_result_filters_do_not_crash(spark):
         "text_tfidf_topk",
         "stream_session_window",
         "llm_pack_shards",
+        "dedup_connected_components",  # near-empty pair graph at sf0.001
+        "llm_chunk_documents",
+        "llm_decontaminate",
+        "llm_train_val_split",
+        "text_fuzzy_match_levenshtein",
     ],
 )
 def test_queries_run_at_smoke_scale(spark, name):
