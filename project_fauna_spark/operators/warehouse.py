@@ -1,0 +1,296 @@
+"""TPC-H-shaped warehouse queries, batch 2: subquery-heavy shapes.
+
+Round-2 widening of the composed-analytics layer (`analytics.py`):
+EXISTS / NOT EXISTS / NOT IN / correlated-average subqueries and
+conditional-aggregation ratios — the decorrelation surface (TPC-H
+Q4/Q8/Q12/Q14/Q16/Q17/Q22 shapes, adapted to the synthetic schema).
+
+Scale design (100 TB):
+
+* Every correlated subquery is expressed as the join Catalyst would
+  decorrelate it into: EXISTS → left-semi, NOT EXISTS / NOT IN (on a
+  non-null key) → left-anti, correlated AVG → a per-key aggregate
+  joined back.  No nested-loop anywhere.
+* Dimension sides (part subsets, supplier blocklist, nation) are
+  broadcast; fact-fact joins shuffle on their keys with AQE.
+* The Q17 threshold aggregate is computed only over lineitems of the
+  filtered brand (semi-reduction first): per-partkey averages are
+  unchanged by restricting to those partkeys, and the aggregate input
+  drops ~98%.
+* Ratio outputs divide two decimal-accumulated sums in double — the
+  registry's deterministic-float convention (`registry.dsum`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans.registry import davg, dsum, register, sql_davg, sql_dsum
+
+
+@register(
+    "q_order_priority_count",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join.
+
+    Orders in a quarter-window that had at least one lineitem shipped
+    more than 30 days after ordering, counted per priority.  The
+    correlated EXISTS is the decorrelated left-semi join with the
+    non-equi ship-lag predicate evaluated inside the join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+                 / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio (promo revenue %).
+
+    One month of lineitem joined to part (broadcastable dim at any
+    scale — part is ~1/30 of lineitem and only p_type is read), then a
+    single-pass conditional sum.  Both sums accumulate in decimal and
+    divide in double at the edge."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias("promo"),
+            dsum(rev).alias("total"),
+        )
+        .select((100.0 * F.col("promo") / F.col("total")).alias("promo_pct"))
+    )
+
+
+@register(
+    "q_avg_yearly_small_qty",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#16'
+      AND l.l_quantity < (
+        SELECT 0.2 * ({sql_davg('l2.l_quantity')})
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q_avg_yearly_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery → per-key agg join-back.
+
+    Revenue of small-quantity lineitems (< 20% of the part's average
+    order quantity) for one brand.  The correlated average is computed
+    once per partkey — and only for partkeys of the brand (restricting
+    to those keys leaves each per-key average unchanged while dropping
+    ~98% of the aggregate's input).  Brand partkeys broadcast."""
+    part_b = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#16")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(part_b), li.l_partkey == part_b.p_partkey).drop("p_partkey")
+    thresh = li_b.groupBy("l_partkey").agg(
+        (0.2 * davg(F.col("l_quantity"))).alias("qty_thresh")
+    )
+    return (
+        li_b.join(thresh.withColumnRenamed("l_partkey", "t_partkey"),
+                  F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_supplier_part_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN subquery → left-anti join, distinct agg.
+
+    Distinct suppliers per (brand, type, size) slice, excluding
+    negative-balance suppliers.  The NOT IN rewrites to an anti-join
+    against the (tiny, broadcast) blocklist — safe because s_suppkey
+    is non-null; the distinct count is one partial-distinct shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad_supp), l.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_dormant_rich_customers",
+    oracle=f"""
+    SELECT c.c_nationkey, COUNT(*) AS n_custs,
+           {sql_dsum('c.c_acctbal')} AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT {sql_davg('c2.c_acctbal')} FROM customer c2 WHERE c2.c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-AVG subquery + NOT EXISTS → anti-join.
+
+    Above-average-balance customers with no order since 2000, per
+    nation.  The global positive-balance average is a 1-row broadcast
+    cross join; NOT EXISTS decorrelates to a left-anti on o_custkey
+    with the date filter pushed to the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    o_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_custs"), dsum(F.col("c_acctbal")).alias("total_bal"))
+    )
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           {sql_dsum("CASE WHEN n.n_name = 'NATION_7' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per order year.
+
+    Fact-fact join shuffles on orderkey; customer joins on custkey;
+    nation broadcasts.  The share is a conditional/total ratio of two
+    decimal-accumulated sums — group-level, no post-join subquery."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            dsum(F.when(F.col("n_name") == "NATION_7", rev).otherwise(F.lit(0))).alias("nat"),
+            dsum(rev).alias("tot"),
+        )
+        .select("order_year", (F.col("nat") / F.col("tot")).alias("mkt_share"))
+    )
+
+
+@register(
+    "q_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts of order priority per flag.
+
+    Shipdate-year filter pushes to the lineitem scan; the join
+    shuffles on orderkey; counts are exact integer conditional sums
+    (no float concerns)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
