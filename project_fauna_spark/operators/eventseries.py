@@ -1,0 +1,211 @@
+"""Event-series analytics over the ``events`` table.
+
+Product-analytics shapes a clickstream warehouse runs daily: ordered
+funnels, cohort retention, step-transition frequencies, and
+A-then-B-within-Δt pattern detection.  All are expressed as staged
+aggregations + windows on the ``user_id`` partitioning key — the one
+natural shuffle key for event data.
+
+Scale design (100 TB):
+
+* Every operator shuffles at most twice on ``user_id`` (or an
+  aggregate thereof); no all-pairs, no driver loops.  Per-user event
+  counts are bounded in practice (fan-out skew on a hot user is AQE
+  skew-join territory, not a plan change).
+* Funnel stages are successive *aggregate-then-join* reductions:
+  stage N+1 only scans the stage-N survivors — monotonically shrinking
+  intermediates, never a per-event window over the whole stream.
+* The within-Δt pattern join is an equi-join on user_id with the time
+  band evaluated inside the join — bounded by the user key, never a
+  global interval product.
+* Tie-breaks: all orderings use ``(ts, event_id)`` — event_id is
+  unique, so lead/lag and "first" are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans.registry import register
+
+
+@register(
+    "event_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → later click → later purchase, per user.
+
+    Each stage is an aggregate-then-join reduction over the previous
+    stage's survivors (users-with-first-ts, one row per user) — the
+    intermediate shrinks monotonically, so stage depth adds joins on
+    an already-tiny side, not passes over the raw events."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    count_of = lambda df, name: df.agg(F.count("*").alias("n_users")).select(
+        F.lit(name).alias("stage"), "n_users"
+    )
+    return (
+        count_of(v, "1_view")
+        .unionAll(count_of(c, "2_click"))
+        .unionAll(count_of(p, "3_purchase"))
+    )
+
+
+@register(
+    "event_retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT strftime(date_trunc('week', f.cohort_day), '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def event_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as
+    active per whole-week offset from their personal first day.
+
+    Two shuffles: the per-user MIN (map-combined) and the final
+    distinct count on (cohort_week, offset).  The join back to events
+    is an equi-join on user_id — co-partitioned with the first
+    aggregate, so AQE reuses the exchange."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", "cohort_day"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-transition bigram counts: (event_type → next event_type)
+    per user timeline, the Markov-chain view of a clickstream.
+
+    One window shuffle on user_id (lead over (ts, event_id) — unique
+    tie-break) and one map-combined count aggregation."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "event_error_follows_purchase",
+    oracle="""
+    WITH flagged AS (
+      SELECT DISTINCT p.event_id
+      FROM events p JOIN events x
+        ON x.user_id = p.user_id
+       AND x.event_type = 'error'
+       AND x.ts > p.ts AND x.ts <= p.ts + INTERVAL 1 HOUR
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           COUNT(*) AS n_purchases,
+           COUNT(f.event_id) AS n_with_error_1h
+    FROM events p LEFT JOIN flagged f ON p.event_id = f.event_id
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id
+    """,
+)
+def event_error_follows_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-then-B-within-Δt pattern: purchases followed by an error
+    within 1 hour for the same user; per-user totals.
+
+    The pattern probe is a left-semi self-join: equi-key user_id
+    bounds the pairing (never a global interval product), the 1-hour
+    band evaluates inside the join.  At 100 TB the same plan holds —
+    both sides shuffle once on user_id; a per-user sort-merge handles
+    the band."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    x = (
+        e.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("x_user"), F.col("ts").alias("x_ts"))
+    )
+    flagged = p.join(
+        x,
+        (p.user_id == F.col("x_user"))
+        & (F.col("x_ts") > p.ts)
+        & (F.col("x_ts") <= p.ts + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("event_id")
+    return (
+        p.join(flagged.withColumn("hit", F.lit(1)), "event_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("hit").alias("n_with_error_1h"),
+        )
+    )
