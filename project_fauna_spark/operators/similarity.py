@@ -244,3 +244,40 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_sim(F.col("embedding"), F.col("centroid")).alias("cos_to_centroid"),
         )
     )
+
+
+@register(
+    "sim_radius_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10)
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_SQL_COS.format(a='q.qemb', b='e.emb')} AS cos
+    FROM q JOIN e ON e.vec_id <> q.query_id
+    WHERE {_SQL_COS.format(a='q.qemb', b='e.emb')} >= 0.3
+    """,
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL neighbors within cosine
+    >= 0.3 of each query vector — the ε-ball companion of top-k kNN.
+
+    Same broadcast-queries × linear-corpus-scan shape as
+    ``sim_knn_brute_cosine``, but the selection is a predicate rather
+    than a window: no shuffle at all after the scan (filter folds into
+    the broadcast-join stage).  At 100 TB the scan parallelizes per
+    file split; the query side stays a few KB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    queries = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb"))
+    )
+    return (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim(F.col("qemb"), F.col("embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )

@@ -294,3 +294,61 @@ def q_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           CAST(date_diff('day',
+                GREATEST(CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE)),
+                LEAST(CAST(a.o_orderdate AS DATE) + 14, CAST(b.o_orderdate AS DATE) + 14)
+           ) AS INT) AS overlap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.o_orderdate <= b.o_orderdate + INTERVAL 14 DAY
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 14 DAY
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: order pairs of the same customer
+    whose 14-day handling windows [orderdate, orderdate+14] intersect.
+
+    The equi-key (o_custkey) carries the shuffle; the overlap band is
+    evaluated inside the per-customer join — candidate pairs are
+    bounded by per-customer order counts, never a global interval
+    product.  (For key-free interval joins the same plan applies after
+    bucketing time into coarse epochs and exploding each interval to
+    its touched buckets — the band-join pattern in `join_range_band`.)"""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("o_orderdate").alias("date_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("cust_b"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("o_orderdate").alias("date_b"),
+    )
+    day = F.expr("INTERVAL 14 DAYS")
+    joined = a.join(
+        b,
+        (a.o_custkey == b.cust_b)
+        & (F.col("orderkey_a") < F.col("orderkey_b"))
+        & (F.col("date_a") <= F.col("date_b") + day)
+        & (F.col("date_b") <= F.col("date_a") + day),
+    )
+    end_a = F.date_add(F.col("date_a").cast("date"), 14)
+    end_b = F.date_add(F.col("date_b").cast("date"), 14)
+    return joined.select(
+        "o_custkey",
+        "orderkey_a",
+        "orderkey_b",
+        F.datediff(
+            F.least(end_a, end_b),
+            F.greatest(F.col("date_a").cast("date"), F.col("date_b").cast("date")),
+        ).cast("int").alias("overlap_days"),
+    )
