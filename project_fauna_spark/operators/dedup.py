@@ -530,3 +530,64 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return clustered.unionAll(singletons)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sgl, b.sgl)) AS n_inter,
+             len(a.sgl) AS n_a, len(b.sgl) AS n_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sgl, b.sgl)) > 0
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / LEAST(n_a, n_b) AS containment
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / LEAST(n_a, n_b) >= 0.7
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (min-side) containment near-dup pairs (threshold 0.7).
+
+    Jaccard misses subset relationships — a document pasted inside a
+    much longer one scores low on union-normalized overlap but 1.0 on
+    containment.  Same two-phase plan as ``dedup_ngram_jaccard``
+    (hashed inverted-index candidates → exact string verify on the
+    survivors), but WITHOUT the size-ratio prune: containment is
+    size-asymmetric by design, so only the shared-shingle requirement
+    bounds candidates.  The final value is an integer-ratio double."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", shingle_hashes(F.col("text")).alias("hsgl"))
+    ex = hashed.select("doc_id", F.size("hsgl").alias("n"), F.explode("hsgl").alias("h"))
+    from pyspark.storagelevel import StorageLevel
+
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .filter(
+            F.col("n_inter").cast("double") / F.least("n_a", "n_b") >= 0.7
+        )
+        .select("doc_a", "doc_b")
+    )
+    sh = d.select("doc_id", shingles(F.col("text")).alias("sgl"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"))
+    n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
+    cont = n_inter.cast("double") / F.least(F.size("sgl_a"), F.size("sgl_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.7)
+    )

@@ -1,0 +1,141 @@
+"""Graph algorithms over relational edge lists.
+
+Companion to ``dedup.dedup_connected_components`` (iterative min-label
+propagation): here the classic *weighted iteration* algorithm —
+PageRank — expressed as a bounded unrolled sequence of join+aggregate
+rounds over an edge table derived from the warehouse.
+
+Cross-engine exactness: PageRank is normally float-summed, which no
+two engines reproduce bit-for-bit under parallel reduction.  This
+implementation keeps ranks as scaled BIGINTs (1e9 = rank 1.0) and
+distributes contributions with integer division — every operation is
+exact, order-independent, and identical in Spark and DuckDB, so the
+oracle checks VALUES, not just shape.  (At float precision the same
+plan applies with decimal-accumulated sums.)
+
+Scale design (100 TB):
+
+* The edge list aggregates once (map-combined) to (src, dst, weight);
+  each iteration is one shuffle join on src + one aggregate on dst —
+  the standard distributed PageRank round.  Iterations are bounded
+  (3), so the lazy plan stays shallow; a production loop would
+  checkpoint every ~5 rounds to cut lineage, as
+  ``dedup_connected_components`` does.
+* Node and edge tables here are nation-level (tiny), but the plan
+  never relies on that: no collect, no broadcast of ranks — rank
+  updates flow through shuffles keyed on node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans.registry import register
+
+_SCALE = 1_000_000_000  # rank 1.0 == 1e9 (integer PageRank scale)
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+@register(
+    "graph_pagerank_trade",
+    oracle=f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    r0 AS (SELECT node, CAST({_SCALE} AS BIGINT) AS r FROM nodes),
+    r1 AS (
+      SELECT n.node,
+             (CAST({_SCALE} AS BIGINT) * ({_DAMP_DEN} - {_DAMP_NUM})) // {_DAMP_DEN}
+             + ({_DAMP_NUM} * COALESCE(SUM(r0.r // od.d), 0)) // {_DAMP_DEN} AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r0 ON r0.node = e.src
+      LEFT JOIN outdeg od ON od.src = e.src
+      GROUP BY n.node
+    ),
+    r2 AS (
+      SELECT n.node,
+             (CAST({_SCALE} AS BIGINT) * ({_DAMP_DEN} - {_DAMP_NUM})) // {_DAMP_DEN}
+             + ({_DAMP_NUM} * COALESCE(SUM(r1.r // od.d), 0)) // {_DAMP_DEN} AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r1 ON r1.node = e.src
+      LEFT JOIN outdeg od ON od.src = e.src
+      GROUP BY n.node
+    ),
+    r3 AS (
+      SELECT n.node,
+             (CAST({_SCALE} AS BIGINT) * ({_DAMP_DEN} - {_DAMP_NUM})) // {_DAMP_DEN}
+             + ({_DAMP_NUM} * COALESCE(SUM(r2.r // od.d), 0)) // {_DAMP_DEN} AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r2 ON r2.node = e.src
+      LEFT JOIN outdeg od ON od.src = e.src
+      GROUP BY n.node
+    )
+    SELECT node, r AS rank_scaled FROM r3
+    """,
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the nation-level trade graph
+    (customer nation → supplier nation edges from order lineitems).
+
+    Integer-exact: ranks are BIGINTs scaled by 1e9, contributions use
+    integer division — bit-identical across engines, so the oracle
+    verifies the iterative numeric result exactly.  Each iteration is
+    the standard distributed round: join ranks to edges on src,
+    aggregate contributions on dst."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    edges = edges.persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # All divisions use Spark's integral `div` (== DuckDB `//` for the
+    # all-positive values here) — no doubles anywhere in the iteration.
+    base = (_SCALE * (_DAMP_DEN - _DAMP_NUM)) // _DAMP_DEN
+    ranks = nodes.select("node", F.lit(_SCALE).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg.withColumnRenamed("src", "od_src"), F.col("src") == F.col("od_src"))
+            .select("dst", F.expr("r div d").alias("share"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("share").alias("inc"))
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({_DAMP_NUM} * coalesce(inc, 0L)) div {_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -217,3 +217,29 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_extendedprice * l_quantity')}
+             / {sql_dsum('l_quantity')} AS wavg_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag.
+
+    sum(w·x)/sum(w) with both sums decimal-accumulated and divided in
+    double at the edge — the deterministic spelling of weighted mean
+    (a raw double sum would be shuffle-order dependent)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        (
+            dsum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / dsum(F.col("l_quantity"))
+        ).alias("wavg_price"),
+        F.count("*").alias("n"),
+    )

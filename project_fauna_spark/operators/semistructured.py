@@ -583,3 +583,32 @@ def set_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(e, allowMissingColumns=True)
+
+
+@register(
+    "sample_reservoir_hash",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group 'reservoir' sample: order by a salted
+    content hash, keep the first k — uniform-in-distribution like a
+    reservoir sampler, but reproducible across engines AND runs
+    (unlike `sample_bernoulli`'s engine-specific RNG, this one is
+    oracle-checked exactly).
+
+    Scale: one window shuffle on the group key; WindowGroupLimit
+    pushes the k-filter below the sort, so each partition keeps only
+    its k smallest hashes — per-group state is O(k), never the group."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
