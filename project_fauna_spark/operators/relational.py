@@ -1073,3 +1073,32 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").alias("price_tail"),
     )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile_in_priority
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: global deciles of order value + quartiles
+    within each priority class (unique-key tie-break → deterministic).
+
+    The global-ORDER ntile is a single-partition sort by construction
+    — correct for bounded slices like this filtered subset; at full
+    scale the partitioned variant (quartile_in_priority) is the shape
+    to reach for, or percent_rank × bucket arithmetic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
+        F.ntile(4)
+        .over(W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey"))
+        .alias("quartile_in_priority"),
+    )

@@ -612,3 +612,38 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "cdc_tombstone_compaction",
+    oracle="""
+    SELECT user_id, event_type AS last_op, value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction WITH tombstones: each key's latest record
+    wins, and keys whose latest record is a delete marker (here:
+    ``event_type = 'error'``) vanish from the compacted state.
+
+    Same WindowGroupLimit top-1 plan as ``cdc_latest_per_key`` — the
+    tombstone filter applies AFTER picking the latest record, which is
+    the semantic difference from filtering deletes up front (a
+    re-created key must survive, a last-deleted key must not)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
