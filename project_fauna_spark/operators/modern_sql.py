@@ -1,0 +1,119 @@
+"""Modern SQL / Spark-4 engine surface: VARIANT, LATERAL, HLL sketches.
+
+Three capabilities a current-generation engine is expected to have:
+
+* **VARIANT** (semi-structured type): ``parse_json`` → binary variant,
+  typed extraction with ``variant_get`` — schema-on-read without
+  string re-parsing per access.
+* **LATERAL joins**: per-row correlated subqueries in SQL (top-N per
+  group spelled the SQL-standard way).
+* **DataSketches HLL**: mergeable distinct-count sketches — the
+  100 TB answer to COUNT(DISTINCT) across re-aggregation levels
+  (partial sketches union associatively; no second shuffle of raw
+  values).
+
+Scale design (100 TB):
+
+* Variant parsing is per-row, JVM-side, no shuffle.
+* The lateral top-N decorrelates to the same WindowGroupLimit plan as
+  ``topk_per_group`` — Catalyst rewrites it, which is the point of
+  the query: SQL-standard spelling, scalable physical plan.
+* HLL sketches are O(k) per group regardless of group size, and union
+  across any regrouping — the canonical two-level distinct-count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from project_fauna_spark.io import load_table, register_views
+from project_fauna_spark.plans.registry import register
+
+
+@register(
+    "semi_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.missing') AS missing_str
+    FROM events WHERE event_id < 4000
+    """,
+)
+def semi_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access (Spark 4 ``parse_json`` →
+    ``variant_get``): parse once into the binary variant encoding,
+    extract typed fields without re-tokenizing JSON text per access.
+
+    ``try_variant_get`` on a missing path yields NULL (matching
+    ``json_extract_string``'s missing-key NULL)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+    )
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+         ) c
+    """,
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LATERAL correlated subquery: top-2 customers by
+    balance for each nation.
+
+    Catalyst decorrelates the per-row LIMIT subquery into the same
+    windowed top-k physical plan as ``topk_per_group`` — the query
+    exists to pin that the SQL spelling reaches the scalable plan,
+    not a nested loop."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+             ) c
+        """
+    )
+
+
+@register("agg_hll_sketch_merge")  # sketch bytes are engine-specific → rows-only
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    per-segment sketches built in one pass, then UNIONED to re-derive
+    coarser-grained distinct counts WITHOUT re-scanning raw data.
+
+    This is the 100 TB distinct-count pattern: per-partition sketch
+    state is O(k); re-aggregation (segment → global) unions sketches
+    instead of shuffling values.  Estimates are engine-specific →
+    rows-only check here; `tests/test_sketches.py` pins the estimates
+    against exact counts within HLL error bounds."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.countDistinct("o_custkey").alias("exact"))
+    )
+    seg = per_seg.select(
+        "c_mktsegment",
+        F.hll_sketch_estimate("sk").alias("estimate"),
+        "exact",
+    )
+    total = per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
+        F.sum("exact").alias("exact_upper"),
+    ).select(F.lit("__total__").alias("c_mktsegment"), "estimate", F.col("exact_upper").alias("exact"))
+    return seg.unionAll(total)

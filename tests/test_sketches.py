@@ -1,0 +1,44 @@
+"""Accuracy pins for the mergeable-sketch operators.
+
+`agg_hll_sketch_merge` is rows-only at the driver gate (sketch
+estimates are engine-specific), so this test carries the correctness
+burden: estimates must sit within HLL error bounds of the exact
+distinct counts, and the union-of-sketches total must agree with the
+directly-computed global distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_fauna_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hll_estimates_within_bounds(spark):
+    rows = {r["c_mktsegment"]: r for r in QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()}
+    total = rows.pop("__total__")
+    assert len(rows) == 5
+    for seg, r in rows.items():
+        # default lgConfigK=12 → relative error ~1.6%; allow 5%
+        assert abs(r["estimate"] - r["exact"]) <= max(3, 0.05 * r["exact"]), seg
+    # the union row's exact is the sum of disjoint per-segment exacts
+    assert abs(total["estimate"] - total["exact"]) <= max(3, 0.05 * total["exact"])
+
+
+def test_hll_union_matches_direct_global_sketch(spark):
+    """Sketch mergeability: union of per-segment sketches estimates the
+    same value as one global sketch built directly — the property that
+    makes sketches re-aggregable without rescanning."""
+    from project_fauna_spark.io import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).collect()[0]["est"]
+    merged = {
+        r["c_mktsegment"]: r["estimate"]
+        for r in QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+    }["__total__"]
+    assert merged == direct
