@@ -209,3 +209,53 @@ def event_error_follows_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_with_error_1h"),
         )
     )
+
+
+@register(
+    "event_sessionize_lag_cumsum",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS INT) AS session_no,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def event_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization, lag+cumsum spelling: a session breaks when
+    the gap to the previous event exceeds 30 minutes; session ids are
+    the running count of breaks.
+
+    The classic two-window formulation (vs ``stream_session_window``'s
+    session-window operator): BOTH windows share one (user_id) shuffle
+    and one (ts, event_id) sort — Catalyst reuses the exchange, so
+    sessionizing any volume costs a single ordered pass per key."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") <= 1800,
+            F.lit(0),
+        ).otherwise(F.lit(1))
+    )
+    sess = e.withColumn("new_session", gap_break).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )

@@ -180,3 +180,44 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
 
     return p.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+@register(
+    "mm_integrity_rollup",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(text)) AS n_unique_payloads,
+           COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dup_payloads,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MIN(octet_length(encode(text))) AS min_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def mm_integrity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-integrity rollup per source: payload counts, distinct
+    content digests (duplicate detection by hash), and byte budgets.
+
+    The reproducibility audit a training-data pipeline runs per drop:
+    one pass, digest computed per row JVM-side (sha2), distinct count
+    of 32-byte digests instead of full payloads — the shuffle carries
+    hashes, never media bytes."""
+    p = _payloads(spark, sf_dir)
+    sha = F.sha2("payload", 256)
+    nb = F.col("media_meta.n_bytes").cast("long")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        p.join(d, "doc_id")
+        .select("source", sha.alias("sha"), nb.alias("nb"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("sha").alias("n_unique_payloads"),
+            (F.count("*") - F.countDistinct("sha")).alias("n_dup_payloads"),
+            F.sum("nb").alias("total_bytes"),
+            F.min("nb").alias("min_bytes"),
+            F.max("nb").alias("max_bytes"),
+        )
+    )

@@ -1102,3 +1102,71 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey"))
         .alias("quartile_in_priority"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS tag FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS tag FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, tag,
+             last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS) OVER w AS asof_eid,
+             last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER w AS asof_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CASE WHEN ts - asof_ts <= INTERVAL 1 DAY THEN asof_eid END AS purchase_event_id,
+           CASE WHEN ts - asof_ts <= INTERVAL 1 DAY
+                THEN strftime(asof_ts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts
+    FROM carried WHERE tag = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH tolerance: each click matches the latest prior
+    purchase by the same user, but only if it happened within 1 day —
+    stale matches become NULL (the timeseries-engine `tolerance`/
+    `within` parameter).
+
+    Same single-shuffle union-window plan as ``join_asof_latest_order``
+    — the tolerance is a post-carry predicate, so bounding the match
+    window costs zero extra shuffles or joins."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("tag")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("tag")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = purchases.unionAll(clicks).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "tag",
+        F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("asof_eid"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+    )
+    within = (
+        F.col("ts").cast("long") - F.col("asof_ts").cast("long") <= 86400
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.when(within, F.col("asof_eid")).alias("purchase_event_id"),
+        F.when(within, F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss")).alias("purchase_ts"),
+    )
