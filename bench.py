@@ -49,6 +49,10 @@ HEADLINE = [
     "llm_chunk_documents",
     "llm_decontaminate",
     "llm_train_val_split",
+    # round 2 batch 2 (baselines recorded in BASELINE.md same day)
+    "dedup_containment",
+    "graph_pagerank_trade",
+    "event_sessionize_lag_cumsum",
 ]
 
 
