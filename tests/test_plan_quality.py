@@ -124,3 +124,56 @@ def test_q6_pushes_all_predicates(spark):
     pushed = plan.split("PushedFilters")[1].split("]")[0]
     for col in ["l_shipdate", "l_discount", "l_quantity"]:
         assert col in pushed, col
+
+
+def test_round2_decorrelated_subqueries_are_joins(spark):
+    """EXISTS/NOT EXISTS shapes must plan as semi/anti joins —
+    never nested-loop subquery evaluation."""
+    plan = plan_of(spark, "q_order_priority_count")
+    assert "LeftSemi" in plan
+    plan = plan_of(spark, "q_dormant_rich_customers")
+    assert "LeftAnti" in plan
+    plan = plan_of(spark, "q_supplier_part_variety")
+    assert "LeftAnti" in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The SQL-standard LATERAL LIMIT subquery must reach the same
+    WindowGroupLimit physical plan as the DataFrame top-k — the whole
+    point of expressing it declaratively."""
+    plan = plan_of(spark, "sql_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    plan = plan_of(spark, "sample_reservoir_hash")
+    assert "WindowGroupLimit" in plan
+
+
+def test_ohlc_is_pure_aggregate_no_window(spark):
+    """Struct-ordered open/close keep OHLC an aggregate (partial+final
+    SortAggregate — struct-typed min/max buffers are sort-based), never
+    a window pass: one exchange on the bucket key, no per-group event
+    buffering."""
+    import re
+
+    plan = plan_of(spark, "ts_ohlc_downsample")
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_sessionize_windows_share_one_exchange(spark):
+    """lag + running-sum + final agg must reuse a single user_id
+    exchange (all three are (user_id)-compatible)."""
+    import re
+
+    plan = plan_of(spark, "event_sessionize_lag_cumsum")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_pagerank_has_no_cartesian_or_collect(spark):
+    plan = plan_of(spark, "graph_pagerank_trade")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
