@@ -243,3 +243,29 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_price"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_boolean_flags",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > -999) AS all_above_floor,
+           bool_or(c_acctbal > 9000) AS any_very_rich,
+           COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal > 0) AS DOUBLE) / COUNT(*) AS frac_positive
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_boolean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any/count_if): the data-quality flags
+    layer — all-rows invariants, existence flags, violation counts,
+    and an exact integer-ratio fraction (single double division)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.every(F.col("c_acctbal") > -999).alias("all_above_floor"),
+        F.some(F.col("c_acctbal") > 9000).alias("any_very_rich"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        (
+            F.count_if(F.col("c_acctbal") > 0).cast("double") / F.count("*")
+        ).alias("frac_positive"),
+    )

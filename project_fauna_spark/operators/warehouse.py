@@ -352,3 +352,37 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("date_a").cast("date"), F.col("date_b").cast("date")),
         ).cast("int").alias("overlap_days"),
     )
+
+
+@register(
+    "join_mark_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+             AS has_recent_order
+    FROM customer c
+    """,
+)
+def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join: EXISTS as a produced BOOLEAN column (not a filter) —
+    every customer row survives, annotated with whether a recent order
+    exists.
+
+    Spelled as a left join against the distinct key set with a
+    null-flag projection — the decorrelation engines use for
+    EXISTS-in-SELECT.  The distinct side is keys-only (broadcastable);
+    no row duplication because keys are pre-deduplicated."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("rk"))
+        .distinct()
+    )
+    return c.join(F.broadcast(recent), c.c_custkey == F.col("rk"), "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("rk").isNotNull().alias("has_recent_order"),
+    )
