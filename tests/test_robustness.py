@@ -52,6 +52,11 @@ def test_empty_result_filters_do_not_crash(spark):
         "llm_decontaminate",
         "llm_train_val_split",
         "text_fuzzy_match_levenshtein",
+        "graph_pagerank_trade",  # near-empty edge graph at sf0.001
+        "event_funnel_stages",
+        "dedup_containment",
+        "q_avg_yearly_small_qty",  # may select zero small-qty rows at sf0.001
+        "join_asof_tolerance",
     ],
 )
 def test_queries_run_at_smoke_scale(spark, name):
@@ -82,6 +87,7 @@ def test_registry_consistency():
         "ml_tfidf_pipeline",
         "ml_minhash_lsh",
         "ml_brp_lsh_neighbors",
+        "agg_hll_sketch_merge",  # sketch estimates engine-specific; test_sketches pins accuracy
     }
     assert rows_only == expected_rows_only, rows_only ^ expected_rows_only
 
