@@ -244,9 +244,12 @@ def event_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionizing any volume costs a single ordered pass per key."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap test (cast-to-long truncates to seconds and
+    # can disagree with the oracle's INTERVAL comparison at the edge).
     gap_break = (
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") <= 1800,
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            <= 1800 * 1_000_000,
             F.lit(0),
         ).otherwise(F.lit(1))
     )

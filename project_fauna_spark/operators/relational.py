@@ -1160,8 +1160,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("asof_ts"),
     )
+    # Microsecond-exact staleness bound: cast-to-long would truncate to
+    # whole seconds and disagree with the oracle's full-precision
+    # INTERVAL comparison for gaps inside the truncation window.
     within = (
-        F.col("ts").cast("long") - F.col("asof_ts").cast("long") <= 86400
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))
+        <= 86400 * 1_000_000
     )
     return carried.filter(F.col("tag") == 1).select(
         "event_id",
