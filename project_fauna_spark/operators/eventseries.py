@@ -81,6 +81,10 @@ def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
     )
+    # v and c feed two union branches each — persist the (one row per
+    # user) stage outputs so the claimed one-pass-per-stage shape holds
+    # even without runtime exchange reuse.
+    v, c = v.persist(), c.persist()
     count_of = lambda df, name: df.agg(F.count("*").alias("n_users")).select(
         F.lit(name).alias("stage"), "n_users"
     )

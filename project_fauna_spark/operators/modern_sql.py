@@ -106,7 +106,7 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.countDistinct("o_custkey").alias("exact"))
-    )
+    ).persist()  # feeds both the per-segment and union branches
     seg = per_seg.select(
         "c_mktsegment",
         F.hll_sketch_estimate("sk").alias("estimate"),

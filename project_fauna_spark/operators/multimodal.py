@@ -204,13 +204,10 @@ def mm_integrity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass, digest computed per row JVM-side (sha2), distinct count
     of 32-byte digests instead of full payloads — the shuffle carries
     hashes, never media bytes."""
-    p = _payloads(spark, sf_dir)
-    sha = F.sha2("payload", 256)
-    nb = F.col("media_meta.n_bytes").cast("long")
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
     return (
-        p.join(d, "doc_id")
-        .select("source", sha.alias("sha"), nb.alias("nb"))
+        d.select("source", F.sha2(payload, 256).alias("sha"), F.length(payload).cast("long").alias("nb"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

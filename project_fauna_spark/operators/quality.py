@@ -149,9 +149,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_rich"),
         dsum(F.col("c_acctbal")).alias("total_bal"),
-        F.sum(
-            F.when(F.col("c_acctbal") < 0, F.col("c_acctbal")).cast("decimal(30,8)")
-        ).cast("double").alias("neg_bal"),
+        dsum(F.when(F.col("c_acctbal") < 0, F.col("c_acctbal"))).alias("neg_bal"),
     )
 
 
