@@ -267,3 +267,35 @@ def agg_boolean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("c_acctbal") > 0).cast("double") / F.count("*")
         ).alias("frac_positive"),
     )
+
+
+@register(
+    "scalar_try_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity, 0) AS unit_price,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS line_roundtrip,
+           l_tax / NULLIF(l_discount, 0) AS tax_over_discount
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def scalar_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar battery: ``try_divide`` /
+    ``try_cast`` return NULL where strict ANSI evaluation would raise.
+
+    This repo runs Spark 4 with ANSI ON (overflow/div-zero/bad-cast
+    all throw); the try_* family is how a pipeline opts into
+    null-on-error per expression instead of disabling ANSI globally —
+    the oracle spells the same semantics with NULLIF/TRY_CAST."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("unit_price"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias("flag_as_int"),
+        F.try_to_number(F.col("l_linenumber").cast("string"), F.lit("9")).cast("int").alias(
+            "line_roundtrip"
+        ),
+        F.try_divide(F.col("l_tax"), F.col("l_discount")).alias("tax_over_discount"),
+    )

@@ -386,3 +386,38 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("rk").isNotNull().alias("has_recent_order"),
     )
+
+
+@register(
+    "join_salted_equi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority, COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS order_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+)
+def join_salted_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: the hot-key mitigation, verified row-identical
+    to the plain join (the oracle IS the unsalted join).
+
+    The fact side gets a deterministic per-row salt; the (unique-key)
+    dim side explodes ×8 — each hot key's rows spread over 8 reducers
+    instead of one straggler.  Salting is correctness-neutral for
+    inner joins on unique build keys, which the oracle proves; AQE's
+    runtime skew split is the automatic flavor, this is the explicit
+    one for when a single key exceeds what one task can hold."""
+    from project_fauna_spark.operators.skew import salted_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    joined = salted_join(l, o, big_key="l_orderkey", small_key="o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        dsum(F.col("l_extendedprice")).alias("order_total"),
+    )
