@@ -421,3 +421,88 @@ def join_salted_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         dsum(F.col("l_extendedprice")).alias("order_total"),
     )
+
+
+@register(
+    "q_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer-by-order-count histogram (two-level
+    aggregation over a filtered LEFT join — zero-order customers must
+    appear in the 0 bucket, so the filter lives IN the join condition,
+    not a WHERE).
+
+    Both aggregations map-combine; the join shuffles on custkey and
+    the second agg's key (c_count) has trivial cardinality."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_acctbal, s.s_name, s.s_nationkey
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    best AS (
+      SELECT p.p_partkey, p.p_size,
+             (min({'bal': sp.s_acctbal, 'sk': sp.l_suppkey})).sk AS best_suppkey,
+             (min({'bal': sp.s_acctbal, 'sk': sp.l_suppkey})).bal AS best_acctbal
+      FROM part p JOIN supply sp ON p.p_partkey = sp.l_partkey
+      WHERE p.p_size = 15
+      GROUP BY p.p_partkey, p.p_size
+    )
+    SELECT b.p_partkey, b.p_size, b.best_suppkey, b.best_acctbal, s.s_name
+    FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp table): for each size-15
+    part, the cheapest supplier actually supplying it (min account
+    balance, suppkey tie-break), re-joined for supplier detail.
+
+    The correlated MIN subquery is a struct-argmin aggregate over the
+    (distinct) part-supplier supply pairs; the supplier detail join is
+    a broadcast.  The supply-pair dedup is the only big shuffle."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = load_table(spark, sf_dir, "supplier")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_size")
+    )
+    supply = l.join(
+        F.broadcast(s.select("s_suppkey", "s_acctbal")), l.l_suppkey == F.col("s_suppkey")
+    )
+    key = F.struct(F.col("s_acctbal").alias("bal"), F.col("l_suppkey").alias("sk"))
+    best = (
+        supply.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_partkey", "p_size")
+        .agg(
+            F.min(key).getField("sk").alias("best_suppkey"),
+            F.min(key).getField("bal").alias("best_acctbal"),
+        )
+    )
+    return best.join(
+        F.broadcast(s.select("s_suppkey", "s_name")),
+        best.best_suppkey == F.col("s_suppkey"),
+    ).select("p_partkey", "p_size", "best_suppkey", "best_acctbal", "s_name")
