@@ -27,18 +27,23 @@ def test_hll_estimates_within_bounds(spark):
     assert abs(total["estimate"] - total["exact"]) <= max(3, 0.05 * total["exact"])
 
 
-def test_hll_union_matches_direct_global_sketch(spark):
+def test_hll_union_tracks_direct_global_sketch(spark):
     """Sketch mergeability: union of per-segment sketches estimates the
-    same value as one global sketch built directly — the property that
-    makes sketches re-aggregable without rescanning."""
+    same population as one global sketch built directly.  NOT asserted
+    as equality — DataSketches HLL uses a HIP estimator, which is
+    insertion/union-order dependent, so merged and direct sketches can
+    differ by a few counts; both must sit within error bounds of the
+    exact answer."""
     from project_fauna_spark.io import load_table
 
     o = load_table(spark, SF_DIR, "orders")
     direct = o.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
     ).collect()[0]["est"]
-    merged = {
-        r["c_mktsegment"]: r["estimate"]
+    rows = {
+        r["c_mktsegment"]: r
         for r in QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
-    }["__total__"]
-    assert merged == direct
+    }
+    merged, exact = rows["__total__"]["estimate"], rows["__total__"]["exact"]
+    assert abs(direct - exact) <= 0.05 * exact
+    assert abs(merged - exact) <= 0.05 * exact
