@@ -33,3 +33,29 @@ def write_partitioned_parquet(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-sorted parquet write (the poor-man's Z-order for one
+    key prefix): range-partition into ``n_files`` splits by the
+    cluster key, sort rows within each split, write.
+
+    Each output file then covers a narrow, non-overlapping range of
+    the cluster key, so its parquet row-group min/max stats become
+    selective: a point or range predicate on the key prunes all but
+    ~one file at scan time — the locality layout for a column queried
+    constantly but unsuitable as a directory partition key (high
+    cardinality).
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -47,3 +47,28 @@ def test_partitioned_parquet_roundtrip_and_pruning(spark):
         with redirect_stdout(buf):
             back.filter(F.col("lang") == "en").explain("formatted")
         assert "PartitionFilters" in buf.getvalue()
+
+
+def test_clustered_write_yields_disjoint_file_ranges(spark):
+    """write_clustered_parquet: each output file covers a narrow,
+    non-overlapping range of the cluster key — the property row-group
+    pruning depends on."""
+    import glob
+    import pyarrow.parquet as pq
+    from project_fauna_spark.sinks.files import write_clustered_parquet
+
+    src = load_table(spark, SF, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        write_clustered_parquet(src, d, ["o_custkey"], n_files=4)
+        ranges = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            t = pq.read_table(f, columns=["o_custkey"])["o_custkey"]
+            if len(t):
+                ranges.append((min(t.to_pylist()), max(t.to_pylist())))
+        assert len(ranges) >= 3
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2  # disjoint (range partitioner boundaries)
+        # and the read back is lossless
+        back = spark.read.parquet(d)
+        assert back.count() == src.count()
