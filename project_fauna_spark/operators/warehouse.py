@@ -562,3 +562,92 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(rev).alias("volume"))
     )
+
+
+@register(
+    "q_top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    — the scalar-MAX-subquery HAVING pattern (returns ALL tied rows,
+    unlike a LIMIT 1).
+
+    The revenue view computes once and feeds both the max and the
+    equality filter; Spark reuses it via a broadcast 1-row max join.
+    The decimal-accumulated revenue makes the equality comparison
+    engine-stable (two bit-identical doubles)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    ).persist()  # feeds both the max aggregate and the equality filter
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q_disjunctive_predicates",
+    oracle=f"""
+    SELECT COUNT(*) AS n_matches,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides.
+
+    The optimizer-pattern query: Catalyst derives the per-side
+    implied disjunctions (p_brand IN (...), l_quantity BETWEEN
+    min..max of any branch) and pushes them below the join, so each
+    scan prunes before pairing; the exact 3-branch predicate applies
+    inside the join.  Expressed as one declarative filter — no manual
+    union-of-three-joins."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = lambda brand, s1, s2, q1, q2: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2)
+    )
+    cond = (
+        branch("Brand#12", 1, 15, 1, 21)
+        | branch("Brand#23", 10, 30, 10, 30)
+        | branch("Brand#34", 20, 50, 20, 40)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_matches"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
