@@ -651,3 +651,100 @@ def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_waiting_orders_sole_blame",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY 1, 2
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q_waiting_orders_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a late order —
+    the EXISTS + NOT-EXISTS double-correlation on the same fact.
+
+    Decorrelated once via per-order aggregates instead of two
+    correlated probes: n_suppliers and n_late_suppliers per order,
+    joined back to the late pairs (multi-supplier order AND exactly
+    one late supplier ⇔ the original EXISTS ∧ NOT EXISTS).  Three
+    shuffles on l_orderkey total, each map-combined."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    ).persist()  # feeds the pair set AND the per-order late-supplier count
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    n_late = late.groupBy(F.col("l_orderkey").alias("lo")).agg(
+        F.count("*").alias("n_late_suppliers")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, late.l_orderkey == F.col("lo"))
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "q_dominant_part_suppliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(30,8))) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, SUM(q) AS qt FROM per GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT p.l_suppkey FROM per p JOIN tot t ON p.l_partkey = t.l_partkey
+      WHERE p.q * 5 > t.qt
+    )
+    """,
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a nested aggregate-with-HAVING —
+    suppliers providing more than 20% of some part's total quantity.
+
+    The nested aggregate chains two groupBys that share the
+    (l_partkey) shuffle; the dominance test is an exact DECIMAL
+    comparison (q*5 > total, no division, no float edge); the IN
+    decorrelates to a left-semi join on the (tiny) dominant-supplier
+    key set."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("q")
+    )
+    tot = per.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("q").alias("qt"))
+    dominant = (
+        per.join(tot, per.l_partkey == F.col("pk"))
+        .filter(F.col("q") * 5 > F.col("qt"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
