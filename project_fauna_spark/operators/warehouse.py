@@ -801,3 +801,41 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(profit).alias("profit"))
     )
+
+
+@register(
+    "q_important_stock_value",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS v
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey,
+           CAST(CAST(v AS VARCHAR) AS DOUBLE) AS part_value
+    FROM val
+    WHERE v * (SELECT COUNT(*) FROM val) > (SELECT SUM(v) * 1.5 FROM val)
+    """,
+)
+def q_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (supply value proxied by lineitem extended
+    price — no partsupp table): parts whose total traded value exceeds
+    1.5x the average part's value (a scale-stable concentration cut).
+
+    The per-part aggregate computes once and feeds both the global
+    scalar (1-row broadcast) and the filter; the threshold comparison
+    happens in exact DECIMAL (the double cast is only the output
+    edge), so the cut line is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).alias("v")
+    ).persist()  # feeds the global scalar and the filter
+    total = val.agg(
+        (F.sum("v") * F.lit(1.5).cast("decimal(2,1)")).alias("thresh"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") * F.col("n_parts") > F.col("thresh"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
