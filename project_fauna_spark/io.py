@@ -32,9 +32,14 @@ TABLES = [
     "embeddings",
 ]
 
-# Columns stored as parquet TIMESTAMP(NANOS): read as int64
-# (spark.sql.legacy.parquet.nanosAsLong) and convert to a µs timestamp.
-# The synthetic data is µs-granular, so `div 1000` is lossless.
+# Columns whose physical encoding has varied across testdata
+# generations: TIMESTAMP(NANOS) (read as int64 ns via
+# spark.sql.legacy.parquet.nanosAsLong) or naive TIMESTAMP(MICROS)
+# (read as TIMESTAMP_NTZ).  Either way the engine-facing type is a
+# session-UTC ``TimestampType`` — downstream operators (unix_micros,
+# watermarks, range frames) rely on it.  The synthetic data is
+# µs-granular, so `div 1000` on the ns encoding is lossless, and the
+# NTZ→TZ cast is value-preserving because the session zone is UTC.
 _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,8 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

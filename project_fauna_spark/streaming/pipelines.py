@@ -23,12 +23,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from project_fauna_spark.session import configure_session
 
 # events.parquet schema, declared (streaming readers require a schema —
-# no inference on unbounded input).  ts is TIMESTAMP(NANOS) in the file;
-# with spark.sql.legacy.parquet.nanosAsLong it reads as long (ns).
+# no inference on unbounded input).  ts is a naive TIMESTAMP(MICROS)
+# in the current testdata generation → declared NTZ and cast to the
+# session-UTC TimestampType the windowing operators expect.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (legacy nanos-as-long)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -46,7 +47,7 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # dir has all 10 tables
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
