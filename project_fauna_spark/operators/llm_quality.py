@@ -1,0 +1,227 @@
+"""Corpus hygiene operators: PII scrubbing, repetition metrics, and
+embedding quantization — the data-privacy / data-quality / storage
+stages of a pre-training pipeline (north-star LLM-ops surface; the
+reference ETL has no analogue).
+
+Scale shapes:
+
+* PII scrub and int8 quantization are pure per-row expression
+  pipelines — no shuffle at all; they run at parquet-scan speed and
+  parallelize embarrassingly at 100 TB.
+* Repetition metrics are two map-side-combined hash aggregations
+  keyed by ``doc_id`` (word counts, bigram counts) joined back on the
+  same key — the join co-partitions with the aggregations, so the
+  whole operator is effectively one shuffle of (doc_id, gram) pairs.
+
+Float parity: every ratio here is a quotient of exact integers (or a
+per-row IEEE expression), deterministic and bit-identical across
+engines — no cross-row double accumulation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans.registry import register
+
+# RE2-and-Java-compatible patterns (no backrefs, no lookaround) so the
+# Spark (java.util.regex) and DuckDB (RE2) sides match the same spans.
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE = r"\b\d{3}-\d{4}\b"
+
+# The synthetic corpus contains no PII, so each doc gets a
+# deterministic PII suffix (same expression on both engines); the
+# scrub then has real matches to find and redact.
+_ORACLE_PII = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com ip 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '__EMAIL__')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(aug, '__EMAIL__', '<EMAIL>', 'g'),
+                                   '__IPV4__')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(
+           regexp_replace(regexp_replace(aug, '__EMAIL__', '<EMAIL>', 'g'),
+                          '__IPV4__', '<IP>', 'g'),
+           '__PHONE__')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(aug, '__EMAIL__', '<EMAIL>', 'g'),
+           '__IPV4__', '<IP>', 'g'),
+         '__PHONE__', '<PHONE>', 'g') AS clean_text
+FROM aug
+""".replace("__EMAIL__", _EMAIL).replace("__IPV4__", _IPV4).replace("__PHONE__", _PHONE)
+
+
+@register("llm_pii_scrub", oracle=_ORACLE_PII)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails → IPs → phones) with match counts.
+
+    Counts are staged the same way as the replacements (each pattern
+    counted on the text with the previous patterns already redacted)
+    so overlapping spans are attributed to exactly one category.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    x = d.select("doc_id", aug.alias("aug"))
+    no_email = F.regexp_replace("aug", _EMAIL, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _IPV4, "<IP>")
+    return x.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(no_ip, F.lit(_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(no_ip, _PHONE, "<PHONE>").alias("clean_text"),
+    )
+
+
+@register(
+    "llm_gopher_repetition",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    wg AS (SELECT doc_id, unnest(ws) AS g FROM base),
+    wc AS (SELECT doc_id, g, COUNT(*) AS c FROM wg GROUP BY doc_id, g),
+    wt AS (SELECT doc_id, MAX(c) AS top_word_n,
+                  CAST(SUM(c) AS BIGINT) AS n_words
+           FROM wc GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  unnest([array_to_string(ws[i:i+1], ' ')
+                          for i in range(1, len(ws))]) AS g
+           FROM base),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    bt AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+    SELECT w.doc_id, w.n_words, w.top_word_n, b.top_bigram_n,
+           CAST(w.top_word_n AS DOUBLE) / w.n_words AS top_word_frac,
+           CAST(b.top_bigram_n AS DOUBLE) / (w.n_words - 1) AS top_bigram_frac,
+           (CAST(w.top_word_n AS DOUBLE) / w.n_words > 0.3
+            OR CAST(b.top_bigram_n AS DOUBLE) / (w.n_words - 1) > 0.2)
+             AS repetitive
+    FROM wt w JOIN bt b ON w.doc_id = b.doc_id
+    """,
+)
+def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-word and top-bigram mass.
+
+    A document dominated by one word or one bigram is boilerplate /
+    spam; Rae et al. 2021 (Gopher) filter on exactly these fractions.
+    Both metrics are count ratios — exact integers until the final
+    per-row division, so cross-engine parity is bit-exact.
+
+    Bigrams are built with the zipped-slice shape
+    (:func:`project_fauna_spark.functions.shingles._zipped_trigrams`):
+    the HOF lambda touches only its own element — no O(len²)
+    re-evaluation of ``split`` inside the lambda.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    k = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.slice(
+        F.arrays_zip(
+            words.alias("w1"),
+            F.slice(words, 2, k).alias("w2"),
+        ),
+        1,
+        k,
+    )
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s.w1, s.w2))
+    base = d.filter(F.size(words) >= 2).select(
+        "doc_id", words.alias("ws"), bigrams.alias("bg")
+    )
+
+    wt = (
+        base.select("doc_id", F.explode("ws").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_n"), F.sum("c").alias("n_words"))
+    )
+    bt = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    top_word_frac = F.col("top_word_n").cast("double") / F.col("n_words")
+    top_bigram_frac = F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1)
+    return wt.join(bt, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_word_n",
+        "top_bigram_n",
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        ((top_word_frac > 0.3) | (top_bigram_frac > 0.2)).alias("repetitive"),
+    )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             [CAST(x AS DOUBLE) for x in embedding] AS demb
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, label, demb,
+             list_max([abs(x) for x in demb]) AS scale_max
+      FROM e
+    )
+    SELECT vec_id, label, scale_max,
+           [CAST(floor(x * 127.0 / scale_max) AS INTEGER) for x in demb] AS q8
+    FROM m
+    WHERE scale_max > 0
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization (the 4× storage/bandwidth
+    cut every large ANN index applies before sharding).
+
+    ``q = floor(x · 127 / absmax)`` in double — per-row IEEE ops, so
+    both engines produce identical arrays.  The scalar ``scale_max``
+    is zipped in via ``array_repeat`` rather than referenced inside
+    the lambda: an outer expression inside a HOF lambda re-evaluates
+    per element (the O(d²) trap), while the repeat evaluates it once
+    per row.  Zero vectors are excluded (no defined scale).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    demb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_scale = e.select(
+        "vec_id",
+        "label",
+        demb.alias("demb"),
+    ).select(
+        "vec_id",
+        "label",
+        "demb",
+        F.array_max(F.transform(F.col("demb"), F.abs)).alias("scale_max"),
+    )
+    return with_scale.filter(F.col("scale_max") > 0).select(
+        "vec_id",
+        "label",
+        "scale_max",
+        F.zip_with(
+            F.col("demb"),
+            F.array_repeat(F.col("scale_max"), F.size(F.col("demb"))),
+            lambda x, s: F.floor(x * F.lit(127.0) / s).cast("int"),
+        ).alias("q8"),
+    )

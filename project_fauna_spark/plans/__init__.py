@@ -28,5 +28,6 @@ import project_fauna_spark.operators.quality  # noqa: F401,E402
 import project_fauna_spark.operators.graph  # noqa: F401,E402
 import project_fauna_spark.operators.timeseries  # noqa: F401,E402
 import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
+import project_fauna_spark.operators.llm_quality  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "register"]
