@@ -65,3 +65,54 @@ def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "ts_ewma_bounded",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+             list_reverse(list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)) AS rev
+      FROM events
+    )
+    SELECT user_id, ts, event_id, value,
+           list_reduce([rev[i] * (1.0 / CAST(1 << (i - 1) AS DOUBLE))
+                        for i in range(1, len(rev) + 1)],
+                       (a, x) -> a + x)
+           / (2.0 - 1.0 / CAST(1 << (len(rev) - 1) AS DOUBLE)) AS ewma
+    FROM w
+    """,
+)
+def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) over the last
+    16 events per user — the streaming-metrics smoother, made
+    cross-engine bit-exact.
+
+    Determinism argument: the weights are powers of two, so every
+    product ``x·2⁻ᵏ`` is EXACT (exponent shift, no rounding); the
+    only rounding is the numerator sum, folded in fixed index order
+    (newest→oldest) on both engines (``F.aggregate`` here,
+    ``list_reduce`` in DuckDB).  The normalizer ``Σ 2⁻ᵏ = 2 − 2⁻⁽ⁿ⁻¹⁾``
+    is a closed form, exact in binary.
+
+    Scale: one exchange on user_id + sort; frame state is bounded at
+    16 rows, so window memory is O(1) per row at any corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    weights = F.array(*[F.lit(1.0 / (1 << k)) for k in range(16)])
+    wspec = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("value")
+    )
+    rev = F.reverse(F.collect_list("value").over(wspec))
+    x = e.withColumn("rev", rev)
+    num = F.aggregate(
+        F.zip_with(F.col("rev"), F.slice(weights, 1, F.size("rev")), lambda x_, w_: x_ * w_),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    den = F.lit(2.0) - F.element_at(weights, F.size("rev"))
+    return x.select("user_id", "ts", "event_id", "value", (num / den).alias("ewma"))
