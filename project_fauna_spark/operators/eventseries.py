@@ -266,3 +266,71 @@ def event_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+@register(
+    "event_last_touch_attribution",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER uw AS touch_ts,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER uw AS touch_event_id
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN touch_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+                THEN touch_event_id END AS touch_event_id,
+           CASE WHEN touch_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+                THEN epoch_us(ts) - epoch_us(touch_ts) END AS touch_lag_us,
+           (touch_ts IS NOT NULL
+            AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000) AS attributed
+    FROM w
+    WHERE event_type = 'purchase'
+    """,
+)
+def event_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    strictly-earlier 'view' by the same user within a 7-day window.
+
+    The conditional ``last(..., ignorenulls=True)`` over an unbounded
+    preceding frame is the same single-exchange shape as the as-of
+    join (`relational.join_asof_latest_order`) — no self-join, no
+    range explosion; state per row is the running last-view tuple.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    uw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    touch_ts = F.last(F.when(is_view, F.col("ts")), ignorenulls=True).over(uw)
+    touch_id = F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(uw)
+    x = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        touch_ts.alias("touch_ts"),
+        touch_id.alias("raw_touch_event_id"),
+    ).filter(F.col("event_type") == "purchase")
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))
+    in_window = F.col("touch_ts").isNotNull() & (lag_us <= 604800000000)
+    return x.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(in_window, F.col("raw_touch_event_id")).alias("touch_event_id"),
+        F.when(in_window, lag_us).alias("touch_lag_us"),
+        in_window.alias("attributed"),
+    )

@@ -225,3 +225,47 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, s: F.floor(x * F.lit(127.0) / s).cast("int"),
         ).alias("q8"),
     )
+
+
+@register(
+    "llm_balance_lang_mix",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT MIN(cnt) AS target FROM c),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS mix_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.mix_rank
+    FROM r, t
+    WHERE r.mix_rank <= t.target
+    """,
+)
+def llm_balance_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing: cap every language at the smallest
+    language's document count, selecting survivors by deterministic
+    md5 rank (a seeded-shuffle-without-an-RNG — same subset on any
+    cluster size, any partitioning, any engine).
+
+    The target is computed as a 1-row aggregate and cross-joined
+    (Catalyst broadcasts it); no ``.collect()`` round-trip.  The
+    per-language rank window funnels a language through one task —
+    at 100 TB, decompose it over (lang, doc_id div B) buckets with a
+    broadcast offset table exactly as ``llm_pack_shards`` does; the
+    md5-ordered rank makes the bucketed spelling value-identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    rank = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    ranked = d.select("doc_id", "lang", rank.cast("bigint").alias("mix_rank"))
+    return ranked.crossJoin(F.broadcast(target)).filter(
+        F.col("mix_rank") <= F.col("target")
+    ).select("doc_id", "lang", "mix_rank")
