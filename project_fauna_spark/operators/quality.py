@@ -299,3 +299,59 @@ def scalar_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_divide(F.col("l_tax"), F.col("l_discount")).alias("tax_over_discount"),
     )
+
+
+@register(
+    "dq_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    j AS (
+      SELECT e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM j GROUP BY event_type
+    ),
+    j2 AS (
+      SELECT j.event_type, j.value, j.med, mad.mad
+      FROM j JOIN mad USING (event_type)
+    )
+    SELECT event_type, med, mad,
+           CAST(COUNT(*) FILTER (abs(value - med) > 3 * 1.4826 * mad) AS BIGINT)
+             AS n_outliers,
+           COUNT(*) AS n,
+           MAX(abs(value - med) / (1.4826 * mad)) AS max_robust_z
+    FROM j2 GROUP BY event_type, med, mad
+    """,
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median / MAD / count of
+    |x − med| > 3·1.4826·MAD (the robust-z rule that survives the
+    heavy tails that wreck mean/stddev fences).
+
+    Two grouped exact percentiles with broadcast join-backs (group
+    cardinality = event types, tiny).  Interpolation parity is the
+    established ``percentile``/``quantile_cont`` identity
+    (`relational.agg_percentile_exact`); everything after is per-row
+    IEEE arithmetic plus exact counts.  At 100 TB swap the exact
+    medians for ``percentile_approx`` (map-combinable sketch) — the
+    fence rule is unchanged.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    j = e.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5D)").alias("mad")
+    )
+    j2 = j.join(F.broadcast(mad), "event_type")
+    dev = F.abs(F.col("value") - F.col("med"))
+    fence = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return j2.groupBy("event_type", "med", "mad").agg(
+        F.count(F.when(dev > fence, F.lit(1))).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(dev / (F.lit(1.4826) * F.col("mad"))).alias("max_robust_z"),
+    )
