@@ -25,7 +25,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 from project_fauna_spark.sources.http import (
@@ -94,3 +99,63 @@ class FaunaAnimalsDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return FaunaAnimalsReader(self.options)
+
+    def simpleStreamReader(self, schema: T.StructType) -> SimpleDataSourceStreamReader:
+        return FaunaAnimalsStreamReader(self.options)
+
+
+class FaunaAnimalsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming page replay: one listing page per micro-batch.
+
+    Offsets are ``{"page": n}`` (pages consumed so far), so restarts
+    and ``readBetweenOffsets`` replays are exact — the checkpoint
+    contract Structured Streaming requires for exactly-once sinks.
+    The simple (driver-side) reader is the right tradeoff for a
+    cursor-paginated API: the cursor is inherently serial, and each
+    batch is one bounded page; the partition-parallel batch reader
+    above remains the backfill path.
+    """
+
+    def __init__(self, options: dict):
+        self.root = options.get("fixture_root")
+        if not self.root:
+            raise ValueError("fauna_animals requires option 'fixture_root'")
+        self.base_path = options.get("base_path", "/animals/v1/animals")
+        self.policy = RetryPolicy(
+            retries=int(options.get("retries", 6)),
+            backoff_base=float(options.get("backoff_base", 0.25)),
+        )
+
+    def _fetch(self, page: int) -> dict:
+        transport = FileBackedTransport(self.root)
+        _, body = request_with_retry(
+            transport, "GET", f"{self.base_path}?page={page}", self.policy
+        )
+        return _safe_json(body, {"items": [], "total_pages": 1})
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _rows(self, payload: dict, page: int) -> list[tuple]:
+        return [
+            (int(item["id"]), item.get("name"), page)
+            for item in payload.get("items", [])
+        ]
+
+    def read(self, start: dict):
+        nxt = int(start["page"]) + 1
+        probe = self._fetch(1)
+        total = int(probe.get("total_pages", 1))
+        if nxt > total:
+            return iter([]), start
+        payload = probe if nxt == 1 else self._fetch(nxt)
+        return iter(self._rows(payload, nxt)), {"page": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for page in range(int(start["page"]) + 1, int(end["page"]) + 1):
+            rows.extend(self._rows(self._fetch(page), page))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass

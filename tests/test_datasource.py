@@ -36,3 +36,29 @@ def test_datasource_scan(spark, fixture_root):
     assert df.rdd.getNumPartitions() == 3
     by_page = {r["id"]: r["page"] for r in rows}
     assert by_page[1] == 1 and by_page[25] == 3
+
+
+def test_datasource_stream_replays_all_pages(spark, fixture_root, tmp_path):
+    from project_fauna_spark.sources.datasource import FaunaAnimalsDataSource
+
+    spark.dataSource.register(FaunaAnimalsDataSource)
+    stream = (
+        spark.readStream.format("fauna_animals")
+        .option("fixture_root", fixture_root)
+        .load()
+    )
+    assert stream.isStreaming
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("fauna_stream_pages")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = spark.sql("SELECT * FROM fauna_stream_pages").collect()
+    finally:
+        query.stop()
+    assert sorted(r["id"] for r in rows) == list(range(1, 26))
+    # one page per micro-batch: the page column proves batch boundaries
+    assert {r["page"] for r in rows} == {1, 2, 3}
