@@ -269,3 +269,68 @@ def llm_balance_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(target)).filter(
         F.col("mix_rank") <= F.col("target")
     ).select("doc_id", "lang", "mix_rank")
+
+
+@register(
+    "llm_vocab_topk",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uni AS (
+      SELECT unnest(ws) AS token, 'uni' AS kind FROM base
+    ),
+    bi AS (
+      SELECT unnest([array_to_string(ws[i:i+1], ' ')
+                     for i in range(1, len(ws))]) AS token,
+             'bi' AS kind
+      FROM base
+    ),
+    counts AS (
+      SELECT token, kind, COUNT(*) AS n
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      GROUP BY token, kind
+    ),
+    top AS (
+      SELECT token, kind, n
+      FROM counts ORDER BY n DESC, token LIMIT 1000
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id,
+           token, kind, n
+    FROM top
+    """,
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: top-1000 unigrams+bigrams by
+    corpus frequency, with dense ids assigned in (count desc, token)
+    order — the count-and-rank core of WordPiece/BPE vocab building.
+
+    The count is one map-combined hash aggregate over the exploded
+    gram stream; the top-K is ``TakeOrderedAndProject`` (no global
+    sort), and the id-assigning window runs on K rows only — bounded
+    regardless of corpus size.  Ties are broken by token text, so the
+    vocab is deterministic across engines and cluster layouts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    k = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.slice(
+        F.arrays_zip(words.alias("w1"), F.slice(words, 2, k).alias("w2")), 1, k
+    )
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s.w1, s.w2))
+    base = d.filter(F.size(words) >= 2)
+    uni = base.select(F.explode(words).alias("token"), F.lit("uni").alias("kind"))
+    bi = base.select(F.explode(bigrams).alias("token"), F.lit("bi").alias("kind"))
+    counts = (
+        uni.unionAll(bi)
+        .groupBy("token", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(1000)
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(W.orderBy(F.col("n").desc(), "token"))
+    return top.select(
+        rank.cast("bigint").alias("token_id"), "token", "kind", "n"
+    )
