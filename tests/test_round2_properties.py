@@ -89,3 +89,111 @@ def test_reservoir_sample_is_stable_and_k_bounded(spark):
         per_lang.setdefault(lang, 0)
         per_lang[lang] += 1
     assert all(v <= 5 for v in per_lang.values())
+
+
+def test_pii_scrub_is_idempotent_and_counts_injected(spark):
+    """Re-scrubbing clean text finds nothing, and every doc carries
+    exactly the injected email+ip+phone (corpus itself is PII-free)."""
+    out = QUERIES["llm_pii_scrub"](spark, SF)
+    assert out.filter(
+        (F.col("n_emails") != 1) | (F.col("n_ips") != 1) | (F.col("n_phones") != 1)
+    ).count() == 0
+    rescrub = out.select(
+        F.regexp_count(
+            "clean_text",
+            F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+        ).alias("still_email"),
+        F.regexp_count(
+            "clean_text", F.lit(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+        ).alias("still_ip"),
+    )
+    assert rescrub.filter((F.col("still_email") > 0) | (F.col("still_ip") > 0)).count() == 0
+
+
+def test_gopher_fracs_are_valid_and_cover_corpus(spark):
+    out = QUERIES["llm_gopher_repetition"](spark, SF)
+    n_docs = load_table(spark, SF, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    ).count()
+    assert out.count() == n_docs
+    bad = out.filter(
+        (F.col("top_word_frac") <= 0) | (F.col("top_word_frac") > 1)
+        | (F.col("top_bigram_frac") <= 0) | (F.col("top_bigram_frac") > 1)
+        | (F.col("top_word_n") > F.col("n_words"))
+    )
+    assert bad.count() == 0
+
+
+def test_quantize_int8_reconstructs_within_one_step(spark):
+    """Dequantized values must sit within one quantization step of the
+    original: |x − q·s/127| ≤ s/127 (floor quantization)."""
+    out = QUERIES["sim_quantize_int8"](spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    j = out.join(emb, "vec_id").select(
+        "vec_id",
+        "scale_max",
+        F.zip_with(
+            F.col("q8"),
+            F.col("embedding"),
+            lambda q, x: F.abs(x.cast("double") - q * F.col("scale_max") / 127.0),
+        ).alias("errs"),
+    )
+    step = F.col("scale_max") / 127.0
+    worst = j.select(
+        "vec_id", F.array_max("errs").alias("max_err"), step.alias("step")
+    )
+    assert worst.filter(F.col("max_err") > F.col("step") * 1.0000001).count() == 0
+
+
+def test_ewma_bounded_by_frame_extrema(spark):
+    """A convex combination of frame values lies in [frame_min, frame_max]."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, SF, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
+    bounds = e.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    out = QUERIES["ts_ewma_bounded"](spark, SF).join(bounds, "event_id")
+    eps = 1e-9
+    assert out.filter(
+        (F.col("ewma") < F.col("lo") - eps) | (F.col("ewma") > F.col("hi") + eps)
+    ).count() == 0
+
+
+def test_lang_mix_is_balanced_at_min_count(spark):
+    out = QUERIES["llm_balance_lang_mix"](spark, SF)
+    counts = [r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()]
+    d = load_table(spark, SF, "documents")
+    target = min(
+        r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts and all(c == target for c in counts)
+
+
+def test_attribution_touch_precedes_purchase(spark):
+    out = QUERIES["event_last_touch_attribution"](spark, SF)
+    assert out.filter(F.col("attributed") & (F.col("touch_lag_us") <= 0)).count() == 0
+    assert out.filter(
+        F.col("attributed") & (F.col("touch_lag_us") > 604800000000)
+    ).count() == 0
+    # attributed rows carry a touch id; unattributed rows carry none
+    assert out.filter(F.col("attributed") & F.col("touch_event_id").isNull()).count() == 0
+    assert out.filter(~F.col("attributed") & F.col("touch_event_id").isNotNull()).count() == 0
+
+
+def test_vocab_ids_are_dense_and_count_ordered(spark):
+    rows = QUERIES["llm_vocab_topk"](spark, SF).orderBy("token_id").collect()
+    assert [r["token_id"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_mad_outlier_fences_are_consistent(spark):
+    out = QUERIES["dq_outlier_mad"](spark, SF).collect()
+    for r in out:
+        assert r["mad"] > 0 and r["n_outliers"] <= r["n"]
+        # max_robust_z > 3 iff some outlier exists
+        assert (r["n_outliers"] > 0) == (r["max_robust_z"] > 3.0)
