@@ -92,3 +92,32 @@ def ingest_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["k"].alias("k"),
         parsed["k"].isNotNull().alias("parsed_ok"),
     )
+
+
+@register(
+    "ingest_xml_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer slice → XML on disk → schema'd XML read (Spark 4
+    native ``format("xml")``).
+
+    Covers the remaining text-format corner of the scan surface
+    (parquet/ORC/JSON/CSV elsewhere).  Doubles survive because Spark
+    writes shortest-round-trip decimals and parses them back to the
+    identical binary — same argument as the CSV round-trip.
+    """
+    out = _roundtrip_dir(sf_dir, "xml")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    c.select("c_custkey", "c_name", "c_acctbal").coalesce(1).write.mode(
+        "overwrite"
+    ).option("rootTag", "customers").option("rowTag", "customer").format("xml").save(out)
+    return (
+        spark.read.schema("c_custkey LONG, c_name STRING, c_acctbal DOUBLE")
+        .option("rowTag", "customer")
+        .format("xml")
+        .load(out)
+    )
