@@ -334,3 +334,50 @@ def event_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, lag_us).alias("touch_lag_us"),
         in_window.alias("attributed"),
     )
+
+
+@register(
+    "event_path_to_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, event_type,
+             coalesce(array_to_string(list(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '>'), '') AS path
+      FROM events
+    )
+    SELECT path, COUNT(*) AS n_purchases
+    FROM p WHERE event_type = 'purchase'
+    GROUP BY path
+    ORDER BY n_purchases DESC, path
+    LIMIT 20
+    """,
+)
+def event_path_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top conversion paths: the ordered 3-event prefix preceding each
+    purchase, ranked by frequency — the path-analysis staple of
+    product analytics.
+
+    One user_id exchange for the window, then a map-combined count on
+    the path string; top-20 is ``TakeOrderedAndProject``.  Empty
+    prefixes (a user's first event is a purchase) normalize to ''
+    on both engines.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    p = e.select(
+        "event_type",
+        F.concat_ws(">", F.collect_list("event_type").over(w)).alias("path"),
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(F.col("n_purchases").desc(), "path")
+        .limit(20)
+    )

@@ -116,3 +116,89 @@ def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     den = F.lit(2.0) - F.element_at(weights, F.size("rev"))
     return x.select("user_id", "ts", "event_id", "value", (num / den).alias("ewma"))
+
+
+@register(
+    "window_moving_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,4))) OVER w AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(19,4))
+                 * CAST(l_quantity AS DECIMAL(19,4))) OVER w AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS syy
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, n,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy
+      FROM m
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber, n,
+           CASE WHEN n >= 2 AND n * dxx - dx * dx > 0 AND n * dyy - dy * dy > 0
+                THEN (n * dxy - dx * dy)
+                     / (sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy))
+           END AS corr16
+    FROM d
+    """,
+)
+def window_moving_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation (16-row frame) of quantity vs price
+    per supplier — the moving-analytics shape (rolling beta, rolling
+    hedge ratios) done deterministically.
+
+    The five frame moments accumulate in EXACT decimal (sliding-frame
+    add/remove arithmetic is exact, so incremental evaluation equals
+    recomputation); only the final per-row combination runs in double
+    — the same argument as ``analytics.agg_corr_deterministic``,
+    lifted to windows.  Degenerate frames (n=1, constant values, or a
+    variance rounded to ≤0) gate to NULL on both engines — ANSI Spark
+    throws on double division by zero, so the guard is explicit.
+
+    Scale: one exchange on l_suppkey; frame state is 16 rows."""
+    from pyspark.sql import Window as W
+
+    l = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-15, 0)
+    )
+    x = F.col("l_quantity").cast("decimal(19,4)")
+    y = F.col("l_extendedprice").cast("decimal(19,4)")
+    m = l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).cast("double").alias("dx"),
+        F.sum(y).over(w).cast("double").alias("dy"),
+        F.sum(x * y).over(w).cast("double").alias("dxy"),
+        F.sum(x * x).over(w).cast("double").alias("dxx"),
+        F.sum(y * y).over(w).cast("double").alias("dyy"),
+    )
+    n, dx, dy = F.col("n"), F.col("dx"), F.col("dy")
+    dxy, dxx, dyy = F.col("dxy"), F.col("dxx"), F.col("dyy")
+    vx, vy = n * dxx - dx * dx, n * dyy - dy * dy
+    # ANSI mode: double division by zero THROWS (not IEEE NaN), so
+    # degenerate frames (n=1, constant values, or a variance rounded
+    # to <= 0) gate to NULL — same CASE on both engines.
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        (n * dxy - dx * dy) / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return m.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "n", corr.alias("corr16")
+    )
