@@ -53,6 +53,12 @@ HEADLINE = [
     "dedup_containment",
     "graph_pagerank_trade",
     "event_sessionize_lag_cumsum",
+    # round 2 batch 3 (baselines recorded in BASELINE.md same day)
+    "llm_pii_scrub",
+    "llm_gopher_repetition",
+    "ts_ewma_bounded",
+    "window_moving_corr",
+    "llm_vocab_topk",
 ]
 
 
