@@ -79,3 +79,68 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor state API (typed state
+# variables, timers, RocksDB-backed).  Same per-user EWMA the batch operator
+# ts_ewma_bounded computes, expressed as true streaming state.
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class EwmaProcessor(StatefulProcessor):
+    """Per-key running EWMA (α = 1/2) via typed ValueState.
+
+    ``transformWithStateInPandas`` requires the RocksDB state store
+    provider (set ``spark.sql.streaming.stateStore.providerClass``);
+    state per key is two scalars — constant regardless of stream
+    length, the property that keeps a 100 TB/day stream's state store
+    bounded by keyspace, not traffic.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "ewma_state", T.StructType([
+                T.StructField("s", T.DoubleType()),
+                T.StructField("n", T.LongType()),
+            ])
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
+        s, n = (self._state.get() or (0.0, 0)) if self._state.exists() else (0.0, 0)
+        for pdf in rows:
+            pdf = pdf.sort_values("event_id")  # deterministic fold order
+            for v in pdf["value"]:
+                s = float(v) if n == 0 else 0.5 * float(v) + 0.5 * s
+                n += 1
+        self._state.update((s, n))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n, "ewma": s}])
+
+    def close(self) -> None:
+        pass
+
+
+def user_ewma_stream(events: DataFrame) -> DataFrame:
+    """events stream → per-user running EWMA on the Spark-4 state API."""
+    proc = EwmaProcessor()
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

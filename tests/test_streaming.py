@@ -286,3 +286,49 @@ def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
         assert ids == [1, 2, 3]  # each id exactly once across batches
     finally:
         q.stop()
+
+
+def test_transform_with_state_ewma(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: per-user EWMA with typed
+    ValueState on the RocksDB provider; counts must cover every event.
+
+    The TWS python worker speaks protobuf to the JVM state server —
+    skip where protobuf isn't installed (this container); the
+    processor itself is plain pandas and runs on any real cluster."""
+    pytest.importorskip("google.protobuf")
+    from project_fauna_spark.streaming.pipelines import events_file_stream
+    from project_fauna_spark.streaming.stateful import user_ewma_stream
+    from project_fauna_spark.io import load_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = user_ewma_stream(events_file_stream(spark, "/root/testdata/sf0.001"))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_ewma")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, max(n_events) AS n, max(ewma) AS e FROM tws_ewma GROUP BY user_id"
+            ).collect()
+        finally:
+            q.stop()
+        e = load_table(spark, "/root/testdata/sf0.001", "events")
+        expected = {r["user_id"]: r["n"] for r in e.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+        got = {r["user_id"]: r["n"] for r in rows}
+        assert got == expected
+        lo_hi = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+        assert all(lo_hi["lo"] <= r["e"] <= lo_hi["hi"] for r in rows)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
