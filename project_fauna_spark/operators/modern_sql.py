@@ -117,3 +117,64 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact").alias("exact_upper"),
     ).select(F.lit("__total__").alias("c_mktsegment"), "estimate", F.col("exact_upper").alias("exact"))
     return seg.unionAll(total)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR)::DOUBLE AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_discount > 0.05
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    LIMIT 5
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the linear query-authoring form,
+    planning to the identical Catalyst tree as the nested spelling.
+
+    The pipe operators stage filter → aggregate → order/limit exactly
+    like the DataFrame API; this query certifies the parser surface,
+    with the decimal-accumulate sum convention intact.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_discount > 0.05
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+                     COUNT(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        |> LIMIT 5
+        """
+    )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() metadata columns over ROLLUP — how a report layer
+    distinguishes subtotal rows from data rows whose key is NULL.
+
+    Same single expand + hash-agg plan as ``agg_rollup``; the grouping
+    bits are free metadata from the Expand node.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
