@@ -178,3 +178,56 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM events e
+    JOIN (SELECT DISTINCT event_type FROM events
+          WHERE event_type LIKE 'p%') d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: fact partitioned on the join key,
+    dim filtered at runtime — Spark injects the dim's key set into the
+    fact's PartitionFilters, so only matching directories are read.
+
+    The fact is a partitioned-parquet copy of events (written via the
+    sink contract, content-keyed path, once per sf_dir); at 100 TB
+    this is THE difference between scanning one partition and scanning
+    the lake.  The plan carries ``dynamicpruning`` in the fact scan
+    (pinned by test_plan_quality).
+    """
+    import os
+    import tempfile
+
+    from project_fauna_spark.sinks.files import write_partitioned_parquet
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"fauna_dpp_events_{key}")
+    marker = os.path.join(path, "_SUCCESS")
+    e = load_table(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        write_partitioned_parquet(
+            e.select("event_id", "value", "event_type"), path, ["event_type"]
+        )
+    fact = spark.read.parquet(path)
+    dim = (
+        e.select("event_type")
+        .filter(F.col("event_type").startswith("p"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+        )
+    )

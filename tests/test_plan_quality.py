@@ -177,3 +177,10 @@ def test_pagerank_has_no_cartesian_or_collect(spark):
     plan = plan_of(spark, "graph_pagerank_trade")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dpp_query_prunes_fact_partitions(spark):
+    """The partitioned-fact join must carry a dynamic pruning
+    subquery in the fact scan's partition filters."""
+    plan = plan_of(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan or "DynamicPruning" in plan
