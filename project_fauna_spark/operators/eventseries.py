@@ -381,3 +381,81 @@ def event_path_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_purchases").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "event_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS frequency,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+               AS monetary
+      FROM p GROUP BY user_id
+    ),
+    ref AS (SELECT MAX(ts) AS ref_ts FROM p),
+    scored AS (
+      SELECT a.user_id,
+             (epoch_us(r.ref_ts) - epoch_us(a.last_ts)) // 86400000000
+               AS recency_days,
+             a.frequency, a.monetary,
+             CAST(ntile(5) OVER (ORDER BY a.last_ts DESC, a.user_id) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY a.frequency DESC, a.user_id) AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY a.monetary DESC, a.user_id) AS BIGINT) AS m_score
+      FROM agg a, ref r
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency / frequency / monetary with
+    quintile scores and a 3-digit segment label — the marketing
+    composed query, decimal-exact and tie-broken for determinism.
+
+    The reference timestamp is a 1-row aggregate cross-joined in
+    (broadcast, no collect).  The three global ntile windows run over
+    the *aggregated* user table (one row per user) — bounded by
+    keyspace, not traffic; at extreme user counts swap for
+    percent_rank-bucket arithmetic per `window_ntile`'s note.
+    """
+    from pyspark.sql import Window as W
+
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("monetary"),
+    )
+    ref = p.agg(F.max("ts").alias("ref_ts"))
+    j = agg.crossJoin(F.broadcast(ref))
+    r_score = F.ntile(5).over(W.orderBy(F.col("last_ts").desc(), "user_id"))
+    f_score = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "user_id"))
+    m_score = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "user_id"))
+    scored = j.select(
+        "user_id",
+        ((F.unix_micros(F.col("ref_ts")) - F.unix_micros(F.col("last_ts")))
+         / F.lit(86400000000)).cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+        r_score.cast("bigint").alias("r_score"),
+        f_score.cast("bigint").alias("f_score"),
+        m_score.cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -334,3 +334,43 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         rank.cast("bigint").alias("token_id"), "token", "kind", "n"
     )
+
+
+@register(
+    "scalar_url_fns",
+    oracle="""
+    SELECT doc_id,
+           'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+           '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+           'ref=r' || CAST(doc_id % 3 AS VARCHAR) AS query,
+           'r' || CAST(doc_id % 3 AS VARCHAR) AS ref_param,
+           'https' AS protocol
+    FROM documents
+    """,
+)
+def scalar_url_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction (``parse_url``): host / path / query /
+    single parameter / protocol from deterministically constructed
+    URLs — the oracle reconstructs each component from the same parts,
+    so the check certifies Spark's parser against ground truth.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    x = d.select("doc_id", url.alias("url"))
+    return x.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
