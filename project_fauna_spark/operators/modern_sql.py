@@ -231,3 +231,29 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+    )
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM d GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4): ordered string aggregation
+    — the SQL-standard spelling of concat_ws(collect_list) with a
+    deterministic inner ORDER BY, distinct-reduced first so the
+    aggregated string is bounded by category cardinality.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select("o_orderpriority", "o_orderstatus").distinct()
+    return d.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses")
+    )

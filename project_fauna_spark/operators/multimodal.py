@@ -218,3 +218,47 @@ def mm_integrity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").alias("max_bytes"),
         )
     )
+
+
+@register(
+    "mm_chunk_manifest",
+    oracle="""
+    SELECT doc_id, part_no,
+           length(substring(text, (part_no - 1) * 256 + 1, 256)) AS part_chars,
+           md5(substring(text, (part_no - 1) * 256 + 1, 256)) AS part_digest
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(1, CAST(ceil(length(text) / 256.0) AS BIGINT) + 1))
+               AS part_no
+      FROM documents
+    )
+    """,
+)
+def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multipart-upload manifest: fixed-size parts per payload with
+    per-part digests — what a 100 TB object-store writer emits so any
+    part can be retried/verified independently.
+
+    Parts are CHARACTER slices on both engines, digested as their
+    UTF-8 bytes (DuckDB 1.0 has neither BLOB substring nor BLOB md5 —
+    the same symmetry rule as ``mm_binary_meta``); production slices
+    bytes, same plan shape.
+    One ``sequence``+explode per row, no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.ceil(F.length("text") / F.lit(256.0)))
+        ).alias("part_no"),
+    )
+    part = F.substring(
+        F.col("text"), (F.col("part_no") - 1) * 256 + 1, 256
+    )
+    return x.select(
+        "doc_id",
+        "part_no",
+        F.length(part).alias("part_chars"),
+        F.md5(part.cast("binary")).alias("part_digest"),
+    )
