@@ -257,3 +257,33 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)"
         ).alias("statuses")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts via Spark 4 bitmap aggregates: ids bucket
+    into 32k-bit bitmaps (``bitmap_bucket_number`` /
+    ``bitmap_bit_position``), bitmaps OR-combine map-side, and
+    ``bitmap_count`` sums per group.
+
+    This is the scale-out exact-distinct pattern: unlike
+    COUNT(DISTINCT), the bitmap state is mergeable and bounded per
+    (group, bucket), so no expand + re-shuffle of raw ids; unlike HLL
+    it stays exact.  The oracle is plain COUNT(DISTINCT) — equality
+    certifies the whole encoding round-trip.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"))
+    )
