@@ -459,3 +459,40 @@ def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER (
+               PARTITION BY user_id ORDER BY event_id) AS grp
+      FROM events
+    )
+    SELECT user_id, grp,
+           MIN(event_id) AS island_start,
+           MAX(event_id) AS island_end,
+           COUNT(*) AS island_len
+    FROM r GROUP BY user_id, grp
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive event_ids per
+    user via the classic ``id − row_number()`` constant-per-island
+    trick — one window pass + one grouped aggregate, both on the
+    user_id shuffle key.
+    """
+    r = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (
+            F.col("event_id")
+            - F.row_number().over(W.partitionBy("user_id").orderBy("event_id"))
+        ).alias("grp"),
+    )
+    return r.groupBy("user_id", "grp").agg(
+        F.min("event_id").alias("island_start"),
+        F.max("event_id").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    )
