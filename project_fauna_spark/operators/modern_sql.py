@@ -287,3 +287,41 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"))
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
+      UNION ALL
+      SELECT d.doc_id, t.depth + 1
+      FROM documents d JOIN tree t ON d.doc_id // 2 = t.doc_id
+      WHERE d.doc_id > 0
+    )
+    SELECT doc_id, depth FROM tree
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.1): hierarchy traversal over the
+    implicit binary tree ``parent(id) = id div 2`` — every document
+    reached from the root with its exact depth.
+
+    Spark executes the recursion as iterated unions; rounds are
+    bounded by tree DEPTH (log n here), each round one join against
+    the frontier — the same bounded-iteration argument as
+    ``dedup_connected_components``, now via the SQL-standard spelling.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
+          UNION ALL
+          SELECT d.doc_id, t.depth + 1
+          FROM documents d JOIN tree t ON d.doc_id DIV 2 = t.doc_id
+          WHERE d.doc_id > 0
+        )
+        SELECT doc_id, depth FROM tree
+        """
+    )
