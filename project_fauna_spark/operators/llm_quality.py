@@ -1,7 +1,8 @@
-"""Corpus hygiene operators: PII scrubbing, repetition metrics, and
-embedding quantization — the data-privacy / data-quality / storage
-stages of a pre-training pipeline (north-star LLM-ops surface; the
-reference ETL has no analogue).
+"""Corpus hygiene operators — the data-privacy / data-quality /
+storage stages of a pre-training pipeline (north-star LLM-ops
+surface; the reference ETL has no analogue): PII scrubbing, Gopher
+repetition metrics, int8 embedding quantization, language-mix
+rebalancing, tokenizer-vocab construction, URL component extraction.
 
 Scale shapes:
 

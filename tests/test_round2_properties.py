@@ -197,3 +197,61 @@ def test_mad_outlier_fences_are_consistent(spark):
         assert r["mad"] > 0 and r["n_outliers"] <= r["n"]
         # max_robust_z > 3 iff some outlier exists
         assert (r["n_outliers"] > 0) == (r["max_robust_z"] > 3.0)
+
+
+def test_chunk_manifest_reassembles_every_char(spark):
+    """Part lengths must sum to each doc's n_chars and part numbering
+    must be dense from 1."""
+    out = QUERIES["mm_chunk_manifest"](spark, SF)
+    agg = out.groupBy("doc_id").agg(
+        F.sum("part_chars").alias("total"),
+        F.count("*").alias("parts"),
+        F.max("part_no").alias("max_part"),
+    )
+    d = load_table(spark, SF, "documents").select("doc_id", F.length("text").alias("n"))
+    j = agg.join(d, "doc_id")
+    assert j.filter(F.col("total") != F.col("n")).count() == 0
+    assert j.filter(F.col("parts") != F.col("max_part")).count() == 0
+
+
+def test_rfm_scores_are_quintiles(spark):
+    out = QUERIES["event_rfm_segmentation"](spark, SF)
+    for c in ["r_score", "f_score", "m_score"]:
+        rng = out.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        assert rng["lo"] == 1 and rng["hi"] == 5
+    # quintile sizes differ by at most 1
+    sizes = [r["n"] for r in out.groupBy("r_score").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_recursive_depth_is_log2(spark):
+    rows = QUERIES["sql_recursive_cte"](spark, SF).collect()
+    import math
+
+    for r in rows:
+        expect = 0 if r["doc_id"] == 0 else int(math.log2(r["doc_id"])) + 1
+        assert r["depth"] == expect, (r, expect)
+
+
+def test_gaps_islands_partition_events(spark):
+    out = QUERIES["window_gaps_islands"](spark, SF)
+    n_events = load_table(spark, SF, "events").count()
+    total = out.agg(F.sum("island_len")).collect()[0][0]
+    assert total == n_events
+    # islands are true runs: len == end - start + 1
+    assert out.filter(
+        F.col("island_len") != F.col("island_end") - F.col("island_start") + 1
+    ).count() == 0
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    bm = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in QUERIES["agg_bitmap_distinct"](spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert bm == exact
