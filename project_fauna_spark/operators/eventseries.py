@@ -496,3 +496,85 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("island_end"),
         F.count(F.lit(1)).alias("island_len"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+               OVER prev AS prev_id,
+             last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+               OVER prev AS prev_ts,
+             first_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+               OVER nxt AS next_id,
+             first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+               OVER nxt AS next_ts
+      FROM events
+      WINDOW prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             nxt AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NOT NULL
+                 AND (next_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts))
+                THEN prev_id ELSE next_id END AS nearest_error_id,
+           CASE WHEN prev_ts IS NOT NULL
+                 AND (next_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts))
+                THEN epoch_us(ts) - epoch_us(prev_ts)
+                ELSE epoch_us(next_ts) - epoch_us(ts) END AS nearest_dt_us
+    FROM x
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST (the third merge_asof direction): each purchase
+    pairs with the closest same-user error in either time direction,
+    ties to the earlier side.
+
+    Both direction probes are conditional first/last(ignorenulls)
+    windows over the SAME partition+sort — one exchange, one sort,
+    two frames; never a range self-join.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nxt = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    is_err = F.col("event_type") == "error"
+    x = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_err, F.col("event_id")), ignorenulls=True).over(prev).alias("prev_id"),
+        F.last(F.when(is_err, F.col("ts")), ignorenulls=True).over(prev).alias("prev_ts"),
+        F.first(F.when(is_err, F.col("event_id")), ignorenulls=True).over(nxt).alias("next_id"),
+        F.first(F.when(is_err, F.col("ts")), ignorenulls=True).over(nxt).alias("next_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    d_prev = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    d_next = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (d_prev <= d_next)
+    )
+    return x.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias("nearest_error_id"),
+        F.when(take_prev, d_prev).otherwise(d_next).alias("nearest_dt_us"),
+    )

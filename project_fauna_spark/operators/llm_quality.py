@@ -375,3 +375,34 @@ def scalar_url_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "llm_blocklist_filter",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['slow', 'crash', 'spark'])) AS matched_terms,
+           len(list_intersect(list_distinct(string_split(text, ' ')),
+                              ['slow', 'crash', 'spark'])) > 0 AS flagged
+    FROM documents
+    """,
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening: exact-term membership against a curated
+    list, with the matched terms surfaced for audit — the first
+    safety gate of a corpus pipeline (regex/classifier gates follow
+    the same per-row shape).
+
+    Pure array expressions per row, no shuffle; at 100 TB a large
+    blocklist broadcasts and the intersect becomes a hash probe.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    blocklist = F.array(F.lit("slow"), F.lit("crash"), F.lit("spark"))
+    words = F.array_distinct(F.split(F.col("text"), " "))
+    matched = F.array_sort(F.array_intersect(words, blocklist))
+    return d.select(
+        "doc_id",
+        matched.alias("matched_terms"),
+        (F.size(matched) > 0).alias("flagged"),
+    )
