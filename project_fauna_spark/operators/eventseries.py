@@ -578,3 +578,115 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias("nearest_error_id"),
         F.when(take_prev, d_prev).otherwise(d_next).alias("nearest_dt_us"),
     )
+
+
+@register(
+    "event_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    ),
+    wk AS (
+      SELECT strftime(date_trunc('week', f.cohort_day), '%Y-%m-%d') AS cohort_week,
+             CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS INT)
+               AS week_offset,
+             CAST(CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+               AS revenue
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, revenue,
+           CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,8))) OVER (
+             PARTITION BY cohort_week ORDER BY week_offset) AS VARCHAR) AS DOUBLE)
+             AS cumulative_ltv
+    FROM wk
+    """,
+)
+def event_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue per (first-seen week,
+    week offset), with the running cumulative LTV curve per cohort.
+
+    Composition of the retention shape with a decimal-exact window
+    cumsum — grouped revenue first (map-combined), then a window over
+    the tiny (cohort, offset) aggregate, so the cumsum never touches
+    raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    wk = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", "cohort_day"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            ).cast("int").alias("week_offset"),
+            "value",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("revenue"))
+    )
+    cum = (
+        F.sum(F.col("revenue").cast("decimal(30,8)"))
+        .over(W.partitionBy("cohort_week").orderBy("week_offset"))
+        .cast("double")
+    )
+    return wk.select(
+        "cohort_week", "week_offset", "revenue", cum.alias("cumulative_ltv")
+    )
+
+
+@register(
+    "event_view_abandonment",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+    converted AS (
+      SELECT DISTINCT v.event_id
+      FROM v JOIN events p
+        ON p.user_id = v.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT v.user_id,
+           COUNT(*) AS n_views,
+           COUNT(*) - COUNT(c.event_id) AS n_abandoned,
+           CAST(COUNT(*) - COUNT(c.event_id) AS DOUBLE) / COUNT(*)
+             AS abandonment_rate
+    FROM v LEFT JOIN converted c ON v.event_id = c.event_id
+    GROUP BY v.user_id
+    """,
+)
+def event_view_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment: views NOT followed by a same-user purchase within
+    1 hour — the A-not-then-B inverse of the pattern probe, spelled
+    as an anti band-join (equi on user_id, the hour band inside the
+    join), then per-user exact rates.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    abandoned = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.unix_micros(F.col("p_ts")) <= F.unix_micros(F.col("ts")) + 3600000000),
+        "left_anti",
+    )
+    n_views = v.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_views"))
+    n_abandoned = abandoned.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_abandoned")
+    )
+    j = n_views.join(n_abandoned, "user_id", "left").select(
+        "user_id",
+        "n_views",
+        F.coalesce(F.col("n_abandoned"), F.lit(0)).alias("n_abandoned"),
+    )
+    return j.withColumn(
+        "abandonment_rate",
+        F.col("n_abandoned").cast("double") / F.col("n_views"),
+    )
