@@ -690,3 +690,56 @@ def event_view_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abandonment_rate",
         F.col("n_abandoned").cast("double") / F.col("n_views"),
     )
+
+
+@register(
+    "event_dau_wau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+      FROM days d JOIN daily a
+        ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def event_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness ratio per day — the
+    product-health metric triple.
+
+    The trailing-week distinct is a band join of the DAY dimension
+    (tiny — one row per day) against the deduplicated (day, user)
+    table, never against raw events; both inputs come off one
+    map-combined distinct.  Counts are exact, the ratio per-row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            daily.alias("a"),
+            (F.col("a.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("a.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
