@@ -324,7 +324,8 @@ def scalar_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (abs(value - med) > 3 * 1.4826 * mad) AS BIGINT)
              AS n_outliers,
            COUNT(*) AS n,
-           MAX(abs(value - med) / (1.4826 * mad)) AS max_robust_z
+           MAX(CASE WHEN mad > 0
+                    THEN abs(value - med) / (1.4826 * mad) END) AS max_robust_z
     FROM j2 GROUP BY event_type, med, mad
     """,
 )
@@ -350,8 +351,11 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     j2 = j.join(F.broadcast(mad), "event_type")
     dev = F.abs(F.col("value") - F.col("med"))
     fence = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    # mad == 0 (a constant-valued group at tiny scales) must not hit
+    # ANSI's divide-by-zero throw — the z column gates to NULL.
+    robust_z = F.when(F.col("mad") > 0, dev / (F.lit(1.4826) * F.col("mad")))
     return j2.groupBy("event_type", "med", "mad").agg(
         F.count(F.when(dev > fence, F.lit(1))).alias("n_outliers"),
         F.count(F.lit(1)).alias("n"),
-        F.max(dev / (F.lit(1.4826) * F.col("mad"))).alias("max_robust_z"),
+        F.max(robust_z).alias("max_robust_z"),
     )

@@ -57,6 +57,19 @@ def test_empty_result_filters_do_not_crash(spark):
         "dedup_containment",
         "q_avg_yearly_small_qty",  # may select zero small-qty rows at sf0.001
         "join_asof_tolerance",
+        # round-2 batch 3-4 families at degenerate scale
+        "dq_outlier_mad",  # constant-valued groups → mad 0 must not throw
+        "event_rfm_segmentation",
+        "event_view_abandonment",
+        "event_dau_wau_stickiness",
+        "event_path_to_purchase",
+        "window_moving_corr",  # 1-row frames gate to NULL
+        "ts_ewma_bounded",
+        "llm_balance_lang_mix",
+        "llm_vocab_topk",
+        "sql_recursive_cte",
+        "join_dynamic_partition_pruning",
+        "llm_gopher_repetition",
     ],
 )
 def test_queries_run_at_smoke_scale(spark, name):
