@@ -45,3 +45,20 @@ def shingle_hashes(text: Column, seed: int = 0) -> Column:
         _zipped_trigrams(text), lambda s: F.xxhash64(s.w1, s.w2, s.w3, F.lit(seed))
     )
     return F.array_distinct(grams)
+
+
+def word_bigrams(text: Column) -> Column:
+    """Word 2-gram strings (non-distinct — counting callers need the
+    duplicates).  Same zipped-slice shape as the trigrams: the lambda
+    touches only its own element."""
+    words = F.split(text, " ")
+    k = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.slice(
+        F.arrays_zip(
+            words.alias("w1"),
+            F.slice(words, 2, k).alias("w2"),
+        ),
+        1,
+        k,
+    )
+    return F.transform(zipped, lambda s: F.concat_ws(" ", s.w1, s.w2))

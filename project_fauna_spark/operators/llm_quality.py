@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from project_fauna_spark.functions.shingles import word_bigrams
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -133,18 +134,8 @@ def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    k = F.greatest(F.size(words) - 1, F.lit(0))
-    zipped = F.slice(
-        F.arrays_zip(
-            words.alias("w1"),
-            F.slice(words, 2, k).alias("w2"),
-        ),
-        1,
-        k,
-    )
-    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s.w1, s.w2))
     base = d.filter(F.size(words) >= 2).select(
-        "doc_id", words.alias("ws"), bigrams.alias("bg")
+        "doc_id", words.alias("ws"), word_bigrams(F.col("text")).alias("bg")
     )
 
     wt = (
@@ -315,14 +306,12 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    k = F.greatest(F.size(words) - 1, F.lit(0))
-    zipped = F.slice(
-        F.arrays_zip(words.alias("w1"), F.slice(words, 2, k).alias("w2")), 1, k
-    )
-    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s.w1, s.w2))
     base = d.filter(F.size(words) >= 2)
     uni = base.select(F.explode(words).alias("token"), F.lit("uni").alias("kind"))
-    bi = base.select(F.explode(bigrams).alias("token"), F.lit("bi").alias("kind"))
+    bi = base.select(
+        F.explode(word_bigrams(F.col("text"))).alias("token"),
+        F.lit("bi").alias("kind"),
+    )
     counts = (
         uni.unionAll(bi)
         .groupBy("token", "kind")
