@@ -303,8 +303,6 @@ def event_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (`relational.join_asof_latest_order`) — no self-join, no
     range explosion; state per row is the running last-view tuple.
     """
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
@@ -363,8 +361,6 @@ def event_path_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes (a user's first event is a purchase) normalize to ''
     on both engines.
     """
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -426,8 +422,6 @@ def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyspace, not traffic; at extreme user counts swap for
     percent_rank-bucket arithmetic per `window_ntile`'s note.
     """
-    from pyspark.sql import Window as W
-
     p = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )

@@ -199,7 +199,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     fact's PartitionFilters, so only matching directories are read.
 
     The fact is a partitioned-parquet copy of events (written via the
-    sink contract, content-keyed path, once per sf_dir); at 100 TB
+    sink contract, stat-keyed path, once per testdata generation); at 100 TB
     this is THE difference between scanning one partition and scanning
     the lake.  The plan carries ``dynamicpruning`` in the fact scan
     (pinned by test_plan_quality).
@@ -209,7 +209,13 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
 
     from project_fauna_spark.sinks.files import write_partitioned_parquet
 
-    key = sf_dir.strip("/").replace("/", "_")
+    # Key the cached copy by the source file's identity (mtime+size),
+    # not just its path: the driver REGENERATES testdata between
+    # rounds, and a stale partitioned copy would silently diverge
+    # from the oracle reading the fresh parquet.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}"
     path = os.path.join(tempfile.gettempdir(), f"fauna_dpp_events_{key}")
     marker = os.path.join(path, "_SUCCESS")
     e = load_table(spark, sf_dir, "events")

@@ -230,7 +230,7 @@ def mm_integrity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              unnest(range(1, CAST(ceil(length(text) / 256.0) AS BIGINT) + 1))
                AS part_no
-      FROM documents
+      FROM documents WHERE length(text) > 0
     )
     """,
 )
@@ -245,7 +245,10 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, same plan shape.
     One ``sequence``+explode per row, no shuffle at all.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # Empty payloads are excluded on BOTH engines: Spark's
+    # sequence(1, 0) yields a descending [1, 0] while DuckDB's
+    # range(1, 1) yields nothing.
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     x = d.select(
         "doc_id",
         "text",
@@ -259,6 +262,6 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         "doc_id",
         "part_no",
-        F.length(part).alias("part_chars"),
+        F.length(part).cast("long").alias("part_chars"),
         F.md5(part.cast("binary")).alias("part_digest"),
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.functions.shingles import word_bigrams
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -224,17 +225,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams (explode → count → top-k)."""
     d = load_table(spark, sf_dir, "documents")
-    # Zip words with their own tail so the HOF lambda touches only its
-    # element — referencing slice(words, i, 2) inside the lambda would
-    # re-split the text per element (see dedup._zipped_trigrams).
-    words = F.split(F.col("text"), " ")
-    k = F.greatest(F.size(words) - 1, F.lit(0))
-    zipped = F.slice(
-        F.arrays_zip(words.alias("w1"), F.slice(words, 2, k).alias("w2")), 1, k
-    )
-    grams = F.transform(zipped, lambda s: F.concat_ws(" ", s.w1, s.w2))
     return (
-        d.select(F.explode(grams).alias("gram"))
+        d.select(F.explode(word_bigrams(F.col("text"))).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "gram")

@@ -54,16 +54,22 @@ class _PagePartition(InputPartition):
         self.page = page
 
 
+def _parse_options(options: dict) -> tuple[str, str, RetryPolicy]:
+    """Shared option contract for the batch and streaming readers."""
+    root = options.get("fixture_root")
+    if not root:
+        raise ValueError("fauna_animals requires option 'fixture_root'")
+    base_path = options.get("base_path", "/animals/v1/animals")
+    policy = RetryPolicy(
+        retries=int(options.get("retries", 6)),
+        backoff_base=float(options.get("backoff_base", 0.25)),
+    )
+    return root, base_path, policy
+
+
 class FaunaAnimalsReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.root = options.get("fixture_root")
-        if not self.root:
-            raise ValueError("fauna_animals requires option 'fixture_root'")
-        self.base_path = options.get("base_path", "/animals/v1/animals")
-        self.policy = RetryPolicy(
-            retries=int(options.get("retries", 6)),
-            backoff_base=float(options.get("backoff_base", 0.25)),
-        )
+        self.root, self.base_path, self.policy = _parse_options(options)
 
     def partitions(self) -> list[InputPartition]:
         # Planner-side probe: ONE request to learn total_pages, then
@@ -117,14 +123,8 @@ class FaunaAnimalsStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, options: dict):
-        self.root = options.get("fixture_root")
-        if not self.root:
-            raise ValueError("fauna_animals requires option 'fixture_root'")
-        self.base_path = options.get("base_path", "/animals/v1/animals")
-        self.policy = RetryPolicy(
-            retries=int(options.get("retries", 6)),
-            backoff_base=float(options.get("backoff_base", 0.25)),
-        )
+        self.root, self.base_path, self.policy = _parse_options(options)
+        self._total: int | None = None
 
     def _fetch(self, page: int) -> dict:
         transport = FileBackedTransport(self.root)
@@ -144,12 +144,19 @@ class FaunaAnimalsStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         nxt = int(start["page"]) + 1
-        probe = self._fetch(1)
-        total = int(probe.get("total_pages", 1))
-        if nxt > total:
+        if self._total is None or nxt > self._total:
+            # Probe (or re-probe, in case the collection grew) only
+            # when the cursor is at/past the known end — otherwise
+            # every micro-batch would pay a second request.
+            probe = self._fetch(1)
+            self._total = int(probe.get("total_pages", 1))
+            if nxt == 1:
+                if self._total < 1:
+                    return iter([]), start
+                return iter(self._rows(probe, 1)), {"page": 1}
+        if nxt > self._total:
             return iter([]), start
-        payload = probe if nxt == 1 else self._fetch(nxt)
-        return iter(self._rows(payload, nxt)), {"page": nxt}
+        return iter(self._rows(self._fetch(nxt), nxt)), {"page": nxt}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         rows: list[tuple] = []

@@ -23,31 +23,44 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from project_fauna_spark.session import configure_session
 
 # events.parquet schema, declared (streaming readers require a schema —
-# no inference on unbounded input).  ts is a naive TIMESTAMP(MICROS)
-# in the current testdata generation → declared NTZ and cast to the
-# session-UTC TimestampType the windowing operators expect.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# no inference on unbounded input).  The ts encoding varies by
+# testdata generation — TIMESTAMP(NANOS) (read as int64 under
+# nanosAsLong) or naive TIMESTAMP(MICROS) (read as NTZ) — so the
+# stream schema is chosen by probing how the batch reader resolves
+# the file (one driver-side footer read), mirroring io.load_table.
+def _events_stream_schema(ts_type: "T.DataType") -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as a file stream (schema-declared)."""
+    import os
+
     configure_session(spark)
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_dtype = dict(probe.dtypes).get("ts")
+    if ts_dtype == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
+        schema = _events_stream_schema(T.LongType())
+        repair = lambda c: F.timestamp_micros(F.expr("ts div 1000"))
+    else:  # naive µs → TIMESTAMP_NTZ
+        schema = _events_stream_schema(T.TimestampNTZType())
+        repair = lambda c: c.cast("timestamp")
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # dir has all 10 tables
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", repair(F.col("ts")))
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

@@ -119,11 +119,13 @@ class EwmaProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
         s, n = (self._state.get() or (0.0, 0)) if self._state.exists() else (0.0, 0)
-        for pdf in rows:
-            pdf = pdf.sort_values("event_id")  # deterministic fold order
-            for v in pdf["value"]:
-                s = float(v) if n == 0 else 0.5 * float(v) + 0.5 * s
-                n += 1
+        # Rows for one key can span several Arrow chunks: sort the
+        # WHOLE batch, not each chunk, or the fold order (and thus
+        # the EWMA) would depend on chunk boundaries.
+        batch = pd.concat(list(rows), ignore_index=True).sort_values("event_id")
+        for v in batch["value"]:
+            s = float(v) if n == 0 else 0.5 * float(v) + 0.5 * s
+            n += 1
         self._state.update((s, n))
         yield pd.DataFrame([{"user_id": key[0], "n_events": n, "ewma": s}])
 
