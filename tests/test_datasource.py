@@ -62,3 +62,40 @@ def test_datasource_stream_replays_all_pages(spark, fixture_root, tmp_path):
     assert sorted(r["id"] for r in rows) == list(range(1, 26))
     # one page per micro-batch: the page column proves batch boundaries
     assert {r["page"] for r in rows} == {1, 2, 3}
+
+
+def test_datasource_stream_restart_is_exactly_once(spark, fixture_root, tmp_path):
+    """Stop after the first micro-batch, restart on the same
+    checkpoint: the file sink must end with every row exactly once —
+    the offset/readBetweenOffsets contract under restart."""
+    from pyspark.sql import functions as F
+
+    from project_fauna_spark.sources.datasource import FaunaAnimalsDataSource
+
+    spark.dataSource.register(FaunaAnimalsDataSource)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("fauna_animals")
+            .option("fixture_root", fixture_root)
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .start()
+        )
+
+    q = start()
+    try:
+        while not q.recentProgress:  # at least one batch committed
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["id"] for r in rows) == list(range(1, 26))
