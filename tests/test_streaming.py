@@ -332,3 +332,45 @@ def test_transform_with_state_ewma(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_ewma_processor_logic_is_chunk_invariant():
+    """EwmaProcessor's fold must not depend on Arrow chunk boundaries
+    (pure-pandas unit test — runs even where the TWS protobuf worker
+    isn't available)."""
+    import pandas as pd
+
+    from project_fauna_spark.streaming.stateful import EwmaProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    def run(chunks):
+        proc = EwmaProcessor.__new__(EwmaProcessor)
+        proc._state = FakeState()
+        out = list(proc.handleInputRows((7,), iter(chunks), None))
+        return out[0].iloc[0].to_dict(), proc._state.v
+
+    vals = [(i, float(v)) for i, v in zip(range(8), [10, 20, 30, 40, 50, 60, 70, 80])]
+    mk = lambda rows: pd.DataFrame(rows, columns=["event_id", "value"])
+    # one chunk, ordered
+    row_a, state_a = run([mk(vals)])
+    # three chunks, shuffled across boundaries
+    shuffled = [vals[5], vals[2], vals[7]], [vals[0], vals[4]], [vals[6], vals[1], vals[3]]
+    row_b, state_b = run([mk(list(c)) for c in shuffled])
+    assert state_a == state_b and row_a == row_b
+    # manual fold: s = v0 then 0.5v + 0.5s
+    s = 10.0
+    for v in [20, 30, 40, 50, 60, 70, 80]:
+        s = 0.5 * v + 0.5 * s
+    assert row_a["ewma"] == s and row_a["n_events"] == 8
