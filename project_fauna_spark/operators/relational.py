@@ -784,6 +784,40 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _status_custs(spark, sf_dir, "F").subtract(_status_custs(spark, sf_dir, "O"))
 
 
+# Bag (ALL) variants: multiplicity-preserving, so the inputs keep
+# their duplicates — per-status priority multisets on a keyed slice.
+_F_PRIOS = (
+    "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F' AND o_orderkey < 20000"
+)
+_O_PRIOS = (
+    "SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O' AND o_orderkey < 20000"
+)
+
+
+def _status_prios(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == status) & (F.col("o_orderkey") < 20000)
+    ).select("o_orderpriority")
+
+
+@register("set_intersect_all", oracle=f"{_F_PRIOS} INTERSECT ALL {_O_PRIOS}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each row survives
+    min(multiplicity-left, multiplicity-right) times."""
+    return _status_prios(spark, sf_dir, "F").intersectAll(
+        _status_prios(spark, sf_dir, "O")
+    )
+
+
+@register("set_except_all", oracle=f"{_F_PRIOS} EXCEPT ALL {_O_PRIOS}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: multiplicities subtract, floor 0."""
+    return _status_prios(spark, sf_dir, "F").exceptAll(
+        _status_prios(spark, sf_dir, "O")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function battery
 # ---------------------------------------------------------------------------
