@@ -121,29 +121,32 @@ def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_moving_corr",
     oracle="""
-    WITH m AS (
+    WITH sc AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xl,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yl
+      FROM lineitem
+    ),
+    m AS (
       SELECT l_suppkey, l_orderkey, l_linenumber,
              COUNT(*) OVER w AS n,
-             SUM(CAST(l_quantity AS DECIMAL(19,4))) OVER w AS sx,
-             SUM(CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS sy,
-             SUM(CAST(l_quantity AS DECIMAL(19,4))
-                 * CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS sxy,
-             SUM(CAST(l_quantity AS DECIMAL(19,4))
-                 * CAST(l_quantity AS DECIMAL(19,4))) OVER w AS sxx,
-             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
-                 * CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS syy
-      FROM lineitem
+             SUM(xl) OVER w AS sx,
+             SUM(yl) OVER w AS sy,
+             SUM(xl * yl) OVER w AS sxy,
+             SUM(xl * xl) OVER w AS sxx,
+             SUM(yl * yl) OVER w AS syy
+      FROM sc
       WINDOW w AS (PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
                    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
     ),
     d AS (
       SELECT l_suppkey, l_orderkey, l_linenumber, n,
-             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
-             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
-             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
-             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
-             CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy
+             CAST(sx AS DOUBLE) AS dx,
+             CAST(sy AS DOUBLE) AS dy,
+             CAST(sxy AS DOUBLE) AS dxy,
+             CAST(sxx AS DOUBLE) AS dxx,
+             CAST(syy AS DOUBLE) AS dyy
       FROM m
     )
     SELECT l_suppkey, l_orderkey, l_linenumber, n,
@@ -159,9 +162,11 @@ def window_moving_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per supplier — the moving-analytics shape (rolling beta, rolling
     hedge ratios) done deterministically.
 
-    The five frame moments accumulate in EXACT decimal (sliding-frame
-    add/remove arithmetic is exact, so incremental evaluation equals
-    recomputation); only the final per-row combination runs in double
+    Correlation is scale-invariant, and both inputs are exactly
+    2-decimal — so the moments accumulate over ×100-scaled LONGs:
+    exact integer arithmetic (codegen-friendly primitives instead of
+    int128 decimals), every frame sum < 2⁵³ (converts to double
+    exactly); only the final per-row combination rounds
     — the same argument as ``analytics.agg_corr_deterministic``,
     lifted to windows.  Degenerate frames (n=1, constant values, or a
     variance rounded to ≤0) gate to NULL on both engines — ANSI Spark
@@ -176,18 +181,22 @@ def window_moving_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-15, 0)
     )
-    x = F.col("l_quantity").cast("decimal(19,4)")
-    y = F.col("l_extendedprice").cast("decimal(19,4)")
-    m = l.select(
+    xl = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+    yl = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    sc = l.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        xl.alias("xl"), yl.alias("yl"),
+    )
+    m = sc.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(x).over(w).cast("double").alias("dx"),
-        F.sum(y).over(w).cast("double").alias("dy"),
-        F.sum(x * y).over(w).cast("double").alias("dxy"),
-        F.sum(x * x).over(w).cast("double").alias("dxx"),
-        F.sum(y * y).over(w).cast("double").alias("dyy"),
+        F.sum("xl").over(w).cast("double").alias("dx"),
+        F.sum("yl").over(w).cast("double").alias("dy"),
+        F.sum(F.col("xl") * F.col("yl")).over(w).cast("double").alias("dxy"),
+        F.sum(F.col("xl") * F.col("xl")).over(w).cast("double").alias("dxx"),
+        F.sum(F.col("yl") * F.col("yl")).over(w).cast("double").alias("dyy"),
     )
     n, dx, dy = F.col("n"), F.col("dx"), F.col("dy")
     dxy, dxx, dyy = F.col("dxy"), F.col("dxx"), F.col("dyy")
