@@ -537,3 +537,44 @@ def sql_interface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rn <= 5
         """
     )
+
+
+@register(
+    "q_yearly_growth",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS year,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT year, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY year) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY year) > 0
+                THEN revenue / lag(revenue) OVER (ORDER BY year) - 1.0
+           END AS yoy_growth
+    FROM y
+    """,
+)
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: decimal-exact yearly sums, then
+    a lag ratio over the tiny per-year aggregate — the standard
+    finance report shape (the window runs on a handful of rows, never
+    on raw orders).
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    y = o.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    prev = F.lag("revenue").over(W.orderBy("year"))
+    return y.select(
+        "year",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        F.when(prev > 0, F.col("revenue") / prev - 1.0).alias("yoy_growth"),
+    )
