@@ -1208,3 +1208,33 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("asof_eid")).alias("purchase_event_id"),
         F.when(within, F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss")).alias("purchase_ts"),
     )
+
+
+@register(
+    "scalar_bit_fns",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 3 AS shifted_left,
+           o_orderkey >> 2 AS shifted_right,
+           CAST(bit_count(o_orderkey) AS INT) AS pop_count
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def scalar_bit_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation battery: and/or/xor masks, shifts, popcount —
+    the primitives hash partitioners, bitmap indexes, and bucket
+    routers are built from (all JVM-side, codegen-friendly)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 3).alias("shifted_left"),
+        F.shiftright(k, 2).alias("shifted_right"),
+        F.bit_count(k).alias("pop_count"),
+    )
