@@ -21,7 +21,7 @@ engines — no cross-row double accumulation anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.functions.shingles import word_bigrams
 from project_fauna_spark.io import load_table
@@ -250,8 +250,6 @@ def llm_balance_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-ordered rank makes the bucketed spelling value-identical.
     """
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
-
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     target = counts.agg(F.min("cnt").alias("target"))
     rank = F.row_number().over(
@@ -318,8 +316,6 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     top = counts.orderBy(F.col("n").desc(), "token").limit(1000)
-    from pyspark.sql import Window as W
-
     rank = F.row_number().over(W.orderBy(F.col("n").desc(), "token"))
     return top.select(
         rank.cast("bigint").alias("token_id"), "token", "kind", "n"
@@ -394,4 +390,46 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         matched.alias("matched_terms"),
         (F.size(matched) > 0).alias("flagged"),
+    )
+
+
+@register(
+    "llm_dataset_manifest",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens, n_chars,
+           CAST(n_tokens AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+    FROM g
+    """,
+)
+def llm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest: per (lang, source) document / token /
+    byte counts with each cell's share of total tokens — the datasheet
+    every training-data release ships.
+
+    One map-combined aggregate over the corpus; the share window runs
+    on the (lang × source) grid, bounded by catalog size.  All counts
+    exact; the share is a per-row ratio of exact integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens").cast("double") / total.cast("double")).alias("token_share"),
     )
