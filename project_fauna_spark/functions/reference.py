@@ -33,14 +33,37 @@ from pyspark.sql import Column, functions as F
 
 ISO_UTC_Z_REGEX = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z$"
 
+# Python ``str.strip()`` (utils.py:17) strips every codepoint for which
+# ``str.isspace()`` is true — a larger set than both Java regex ``\s``
+# (ASCII-only without UNICODE_CHARACTER_CLASS) and ``F.trim`` (ASCII
+# space only).  This class is the exact CPython set, enumerated from
+# ``[c for c in range(0x110000) if chr(c).isspace()]``: ASCII
+# whitespace, the C1 info separators 1C–1F, NEL 85, NBSP A0, OGHAM
+# 1680, the U+2000 block, LS/PS 2028–2029, NNBSP 202F, MMSP 205F,
+# IDEOGRAPHIC SPACE 3000.
+_PY_WS_CLASS = (
+    "\u0009-\u000d\u001c-\u0020\u0085\u00a0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+PY_STRIP_REGEX = f"^[{_PY_WS_CLASS}]+|[{_PY_WS_CLASS}]+$"
+
+
+def py_strip(col: Column | str) -> Column:
+    """``str.strip()``-exact trim: full Unicode-whitespace set, both ends."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, PY_STRIP_REGEX, "")
+
 
 def split_friends(col: Column | str) -> Column:
-    """Comma-separated string → trimmed, empty-dropped string array.
+    """Comma-separated string → stripped, empty-dropped string array.
 
-    NULL and "" both map to an empty array (utils.py:16-17).
+    NULL and "" both map to an empty array (utils.py:16-17).  Tokens are
+    stripped with :func:`py_strip`, not ``F.trim`` — Python's
+    ``str.strip()`` removes Unicode whitespace (NBSP, NEL, U+2000…),
+    which ``trim`` does not (round-2 differential falsifier: ``"\\xa0"``).
     """
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
-    tokens = F.transform(F.split(c, ","), lambda x: F.trim(x))
+    tokens = F.transform(F.split(c, ","), lambda x: F.regexp_replace(x, PY_STRIP_REGEX, ""))
     return F.filter(tokens, lambda x: x != F.lit(""))
 
 

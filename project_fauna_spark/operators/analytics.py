@@ -408,24 +408,28 @@ def agg_bitwise_and_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
-           list_sort(list_distinct(list_concat(a, b))) AS union_ab,
-           list_sort(list_intersect(a, b)) AS intersect_ab,
-           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS except_ab
+           coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'),
+                    '') AS union_ab,
+           coalesce(array_to_string(list_sort(list_intersect(a, b)), '|'),
+                    '') AS intersect_ab,
+           coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), '|'),
+                    '') AS except_ab
     FROM w
     """,
 )
 def scalar_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array set algebra (union/intersect/except), sorted for
-    deterministic comparison (engines order set results differently)."""
+    """Array set algebra (union/intersect/except), sorted then joined
+    to strings for deterministic comparison (engines order set results
+    differently; top-level arrays are banned at the graded edge)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     words = F.split(F.col("text"), " ")
     a = F.array_sort(F.array_distinct(F.slice(words, 1, 20)))
     b = F.array_sort(F.array_distinct(F.slice(words, 21, 20)))
     return d.select(
         "doc_id",
-        F.array_sort(F.array_union(a, b)).alias("union_ab"),
-        F.array_sort(F.array_intersect(a, b)).alias("intersect_ab"),
-        F.array_sort(F.array_except(a, b)).alias("except_ab"),
+        F.array_join(F.array_sort(F.array_union(a, b)), "|").alias("union_ab"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), "|").alias("intersect_ab"),
+        F.array_join(F.array_sort(F.array_except(a, b)), "|").alias("except_ab"),
     )
 
 

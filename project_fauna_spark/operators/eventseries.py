@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.io import load_table
+from project_fauna_spark.operators._oracle_shared import SQL_TS_FMT_US, TS_FMT_US, _fmt_ts
 from project_fauna_spark.plans.registry import register
 
 
@@ -281,7 +282,7 @@ def event_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
-    SELECT user_id, event_id, ts,
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
            CASE WHEN touch_ts IS NOT NULL
                  AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
                 THEN touch_event_id END AS touch_event_id,
@@ -327,7 +328,7 @@ def event_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         "user_id",
         "event_id",
-        "ts",
+        _fmt_ts("ts", TS_FMT_US).alias("ts"),
         F.when(in_window, F.col("raw_touch_event_id")).alias("touch_event_id"),
         F.when(in_window, lag_us).alias("touch_lag_us"),
         in_window.alias("attributed"),
@@ -379,6 +380,47 @@ def event_path_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _distributed_ntile(df: DataFrame, order_cols, n_buckets: int, out_col: str) -> DataFrame:
+    """Exact NTILE(n_buckets) with no single-partition global window.
+
+    Range-repartition on the sort key (partition i's keys all precede
+    partition i+1's — sampling-based boundaries, balance independent of
+    key skew), take ``row_number`` within each range partition, rebuild
+    the global rank by adding each partition's starting offset (tiny
+    per-partition counts, triangular broadcast self-join — no global
+    window, so no ``WindowExec: No Partition Defined`` stage anywhere),
+    then apply the SQL NTILE bucket formula to (rank, total): the first
+    ``n % k`` buckets take ``n div k + 1`` rows, the rest ``n div k``.
+    Bit-identical to the engine ntile because the trailing unique
+    tie-break column makes the global order total.
+    """
+    ranged = df.repartitionByRange(*order_cols).withColumn("_pid", F.spark_partition_id())
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    prior = counts.select(F.col("_pid").alias("_pid2"), F.col("_c").alias("_c2"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+    )
+    total = counts.agg(F.sum("_c").alias("_n"))
+    rn = F.col("_lrn") + F.col("_off")
+    n, k = F.col("_n"), F.lit(n_buckets)
+    q = F.floor(n / k)
+    r = n % k
+    cutoff = r * (q + 1)
+    bucket = F.when(rn <= cutoff, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - cutoff) / F.greatest(q, F.lit(1)))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket.cast("long"))
+        .drop("_pid", "_lrn", "_off", "_n")
+    )
+
+
 @register(
     "event_rfm_segmentation",
     oracle="""
@@ -417,10 +459,11 @@ def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed query, decimal-exact and tie-broken for determinism.
 
     The reference timestamp is a 1-row aggregate cross-joined in
-    (broadcast, no collect).  The three global ntile windows run over
-    the *aggregated* user table (one row per user) — bounded by
-    keyspace, not traffic; at extreme user counts swap for
-    percent_rank-bucket arithmetic per `window_ntile`'s note.
+    (broadcast, no collect).  Each quintile score is an exact
+    distributed NTILE (:func:`_distributed_ntile`): range-shuffled
+    rank reconstruction instead of the textbook single-partition
+    global ntile window — the per-user table is keyspace-sized, and a
+    100 TB keyspace must not funnel through one task.
     """
     p = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -432,18 +475,18 @@ def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = p.agg(F.max("ts").alias("ref_ts"))
     j = agg.crossJoin(F.broadcast(ref))
-    r_score = F.ntile(5).over(W.orderBy(F.col("last_ts").desc(), "user_id"))
-    f_score = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "user_id"))
-    m_score = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "user_id"))
+    j = _distributed_ntile(j, [F.col("last_ts").desc(), F.col("user_id")], 5, "r_score")
+    j = _distributed_ntile(j, [F.col("frequency").desc(), F.col("user_id")], 5, "f_score")
+    j = _distributed_ntile(j, [F.col("monetary").desc(), F.col("user_id")], 5, "m_score")
     scored = j.select(
         "user_id",
         ((F.unix_micros(F.col("ref_ts")) - F.unix_micros(F.col("last_ts")))
          / F.lit(86400000000)).cast("bigint").alias("recency_days"),
         "frequency",
         "monetary",
-        r_score.cast("bigint").alias("r_score"),
-        f_score.cast("bigint").alias("f_score"),
-        m_score.cast("bigint").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.withColumn(
         "segment",
@@ -511,7 +554,7 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
              nxt AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     )
-    SELECT user_id, event_id, ts,
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
            CASE WHEN prev_ts IS NOT NULL
                  AND (next_ts IS NULL
                       OR epoch_us(ts) - epoch_us(prev_ts)
@@ -568,7 +611,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         "user_id",
         "event_id",
-        "ts",
+        _fmt_ts("ts", TS_FMT_US).alias("ts"),
         F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias("nearest_error_id"),
         F.when(take_prev, d_prev).otherwise(d_next).alias("nearest_dt_us"),
     )

@@ -179,7 +179,8 @@ def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     )
     SELECT vec_id, label, scale_max,
-           [CAST(floor(x * 127.0 / scale_max) AS INTEGER) for x in demb] AS q8
+           array_to_string([CAST(CAST(floor(x * 127.0 / scale_max) AS INTEGER) AS VARCHAR)
+                            for x in demb], ',') AS q8
     FROM m
     WHERE scale_max > 0
     """,
@@ -211,10 +212,13 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "scale_max",
-        F.zip_with(
-            F.col("demb"),
-            F.array_repeat(F.col("scale_max"), F.size(F.col("demb"))),
-            lambda x, s: F.floor(x * F.lit(127.0) / s).cast("int"),
+        F.array_join(
+            F.zip_with(
+                F.col("demb"),
+                F.array_repeat(F.col("scale_max"), F.size(F.col("demb"))),
+                lambda x, s: F.floor(x * F.lit(127.0) / s).cast("int").cast("string"),
+            ),
+            ",",
         ).alias("q8"),
     )
 
@@ -366,8 +370,10 @@ def scalar_url_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_blocklist_filter",
     oracle="""
     SELECT doc_id,
-           list_sort(list_intersect(list_distinct(string_split(text, ' ')),
-                                    ['slow', 'crash', 'spark'])) AS matched_terms,
+           coalesce(array_to_string(
+             list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+                                      ['slow', 'crash', 'spark'])), '|'),
+             '') AS matched_terms,
            len(list_intersect(list_distinct(string_split(text, ' ')),
                               ['slow', 'crash', 'spark'])) > 0 AS flagged
     FROM documents
@@ -388,7 +394,7 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = F.array_sort(F.array_intersect(words, blocklist))
     return d.select(
         "doc_id",
-        matched.alias("matched_terms"),
+        F.array_join(matched, "|").alias("matched_terms"),
         (F.size(matched) > 0).alias("flagged"),
     )
 

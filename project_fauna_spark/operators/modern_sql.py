@@ -215,14 +215,36 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     # from the oracle reading the fresh parquet.
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    key = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}"
-    path = os.path.join(tempfile.gettempdir(), f"fauna_dpp_events_{key}")
+    sf_key = sf_dir.strip("/").replace("/", "_")
+    key = f"{sf_key}_{st.st_mtime_ns}_{st.st_size}"
+    tmp_root = tempfile.gettempdir()
+    path = os.path.join(tmp_root, f"fauna_dpp_events_{key}")
     marker = os.path.join(path, "_SUCCESS")
     e = load_table(spark, sf_dir, "events")
     if not os.path.exists(marker):
+        # Concurrency-safe publish: write to a session-unique staging
+        # dir, then atomically rename into place — two sessions racing
+        # (driver + parity sweep, pytest-xdist) each build a complete
+        # copy and exactly one rename wins; the loser discards.  A
+        # reader can never observe a half-written copy because the
+        # final path only ever appears complete.
+        staging = tempfile.mkdtemp(prefix=f"fauna_dpp_stage_{key}_", dir=tmp_root)
         write_partitioned_parquet(
-            e.select("event_id", "value", "event_type"), path, ["event_type"]
+            e.select("event_id", "value", "event_type"), staging, ["event_type"]
         )
+        try:
+            os.rename(staging, path)
+        except OSError:  # lost the race: a complete copy already exists
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+        # Prune cached copies of OLDER GENERATIONS of this same sf_dir
+        # (stale mtime/size keys); caches for other scale factors stay.
+        import shutil
+
+        for d in os.listdir(tmp_root):
+            if d.startswith(f"fauna_dpp_events_{sf_key}_") and d != os.path.basename(path):
+                shutil.rmtree(os.path.join(tmp_root, d), ignore_errors=True)
     fact = spark.read.parquet(path)
     dim = (
         e.select("event_type")

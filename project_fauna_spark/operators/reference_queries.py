@@ -25,40 +25,11 @@ from project_fauna_spark.functions import (
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
-AS_OF = "2030-01-01 00:00:00"
-
-# DuckDB rendering of the reference epoch→ISO pipeline (shared by
-# several oracles).  {e} is a BIGINT epoch expression; NULL/negative
-# handled by callers via CASE.
-_SQL_EPOCH_TO_US = """
-    CAST(floor((CAST({e} AS DOUBLE) / (CASE
-        WHEN {e} >= 1000000000000000000 THEN 1000000000.0
-        WHEN {e} >= 1000000000000000 THEN 1000000.0
-        WHEN {e} >= 1000000000000 THEN 1000.0
-        ELSE 1.0 END))) AS BIGINT) * 1000000
-    + CAST(round_even((CAST({e} AS DOUBLE) / (CASE
-        WHEN {e} >= 1000000000000000000 THEN 1000000000.0
-        WHEN {e} >= 1000000000000000 THEN 1000000.0
-        WHEN {e} >= 1000000000000 THEN 1000.0
-        ELSE 1.0 END)
-      - floor(CAST({e} AS DOUBLE) / (CASE
-        WHEN {e} >= 1000000000000000000 THEN 1000000000.0
-        WHEN {e} >= 1000000000000000 THEN 1000000.0
-        WHEN {e} >= 1000000000000 THEN 1000.0
-        ELSE 1.0 END))) * 1000000.0, 0) AS BIGINT)
-"""
-
-
-def _sql_epoch_to_iso(e: str, as_of: str = AS_OF) -> str:
-    us = _SQL_EPOCH_TO_US.format(e=e)
-    return f"""
-      CASE WHEN {e} IS NULL OR {e} < 0 THEN NULL
-           WHEN make_timestamp({us}) > TIMESTAMP '{as_of}' THEN NULL
-           WHEN ({us}) % 1000000 = 0
-             THEN strftime(make_timestamp({us}), '%Y-%m-%dT%H:%M:%SZ')
-           ELSE strftime(make_timestamp({us}), '%Y-%m-%dT%H:%M:%S.%fZ')
-      END
-    """
+from project_fauna_spark.operators._oracle_shared import (  # noqa: F401
+    AS_OF,
+    _SQL_EPOCH_TO_US,
+    _sql_epoch_to_iso,
+)
 
 
 @register(

@@ -25,12 +25,16 @@ from project_fauna_spark.plans.registry import register
            CAST(cardinality(attrs) AS INT) AS n_keys,
            attrs['type'][1] AS attr_type,
            CAST(attrs['k'][1] AS BIGINT) AS attr_k,
-           list_sort(map_keys(attrs)) AS keys_sorted
+           array_to_string(list_sort(map_keys(attrs)), '|') AS keys_sorted
     FROM m
     """,
 )
 def semi_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction, size, lookup, key listing."""
+    """Map construction, size, lookup, key listing.
+
+    ``keys_sorted`` is joined to a string — top-level array columns are
+    banned at the graded edge (driver canonicalizer, round-2 breakage).
+    """
     e = load_table(spark, sf_dir, "events")
     attrs = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -41,7 +45,7 @@ def semi_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(attrs).alias("n_keys"),
         attrs["type"].alias("attr_type"),
         attrs["k"].cast("long").alias("attr_k"),
-        F.array_sort(F.map_keys(attrs)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(attrs)), "|").alias("keys_sorted"),
     )
 
 
@@ -180,10 +184,18 @@ def semi_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("semi_percentile_approx")  # sketch-based → rows-only check
 def semi_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest-style sketch) — the scale path for
-    quantiles; exact quantiles of 100 TB need a full sort."""
+    quantiles; exact quantiles of 100 TB need a full sort.  The sketch
+    array is projected to scalar columns (no top-level arrays at the
+    graded edge)."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p50_p95_p99")
+    agg = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_p")
+    )
+    return agg.select(
+        "event_type",
+        F.col("_p")[0].alias("p50"),
+        F.col("_p")[1].alias("p95"),
+        F.col("_p")[2].alias("p99"),
     )
 
 
@@ -225,15 +237,16 @@ def semi_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi_collect_sorted",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS event_seq,
+           array_to_string(list(event_type ORDER BY ts, event_id), '|') AS event_seq,
            len(list(event_type ORDER BY ts, event_id)) AS n
     FROM events WHERE user_id < 20 GROUP BY user_id
     """,
 )
 def semi_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic collect_list: gather (sort-key, value) structs,
-    array_sort, project values — the reproducible ordered-collect
-    pattern (bare collect_list order is shuffle-dependent)."""
+    array_sort, project values, join to a string — the reproducible
+    ordered-collect pattern (bare collect_list order is
+    shuffle-dependent; top-level arrays are banned at the graded edge)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     seq = F.transform(
         F.array_sort(
@@ -241,7 +254,10 @@ def semi_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s.event_type,
     )
-    return e.groupBy("user_id").agg(seq.alias("event_seq"), F.size(seq).cast("long").alias("n"))
+    return e.groupBy("user_id").agg(
+        F.array_join(seq, "|").alias("event_seq"),
+        F.size(seq).cast("long").alias("n"),
+    )
 
 
 @register(
@@ -512,8 +528,8 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id < 3000
     )
     SELECT event_id,
-           ['k2=' || CAST(k * 2 AS VARCHAR),
-            'type=' || upper(event_type)] AS entries_sorted,
+           'k2=' || CAST(k * 2 AS VARCHAR) || '|' ||
+           'type=' || upper(event_type) AS entries_sorted,
            2 AS n_entries
     FROM src
     """,
@@ -542,7 +558,7 @@ def semi_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        entries.alias("entries_sorted"),
+        F.array_join(entries, "|").alias("entries_sorted"),
         F.size(m).alias("n_entries"),
     )
 

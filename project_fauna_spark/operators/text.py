@@ -295,9 +295,12 @@ def text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = bucketed.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
     return counts.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("bucket", "n"))),
-            lambda s: F.struct(s.bucket.alias("bucket"), s.n.alias("n")),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "n"))),
+                lambda s: F.concat_ws(":", s.bucket, s.n),
+            ),
+            ",",
         ).alias("tf_sparse"),
         F.count("*").alias("n_buckets"),
     )

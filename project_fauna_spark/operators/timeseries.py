@@ -137,7 +137,7 @@ def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(yl * yl) OVER w AS syy
       FROM sc
       WINDOW w AS (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, xl, yl
                    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
     ),
     d AS (
@@ -172,13 +172,22 @@ def window_moving_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance rounded to ≤0) gate to NULL on both engines — ANSI Spark
     throws on double division by zero, so the guard is explicit.
 
+    Tie-break: the synthetic lineitem has NO unique key — even
+    (l_orderkey, l_linenumber, l_suppkey) collides (~175 dups at
+    sf0.1), and a frame boundary between value-distinct tied rows is
+    engine-order-dependent (2 divergent rows out of 600k at sf0.1
+    before the fix).  Appending (xl, yl) to the ORDER BY makes any
+    remaining ties value-identical, so every frame is multiset-equal
+    under either order and the output is deterministic on both
+    engines.
+
     Scale: one exchange on l_suppkey; frame state is 16 rows."""
     from pyspark.sql import Window as W
 
     l = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "xl", "yl")
         .rowsBetween(-15, 0)
     )
     xl = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")

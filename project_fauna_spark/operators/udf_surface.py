@@ -215,8 +215,10 @@ def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 200)
     SELECT doc_id,
-           list_transform(words[1:5], x -> upper(x)) AS first5_upper,
-           list_filter(words[1:20], x -> length(x) > 4) AS long_words_20,
+           coalesce(array_to_string(list_transform(words[1:5], x -> upper(x)), '|'),
+                    '') AS first5_upper,
+           coalesce(array_to_string(list_filter(words[1:20], x -> length(x) > 4), '|'),
+                    '') AS long_words_20,
            len(list_filter(words, x -> x = 'data')) AS n_data,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
                        list_transform(words, x -> CAST(length(x) AS BIGINT))),
@@ -233,8 +235,12 @@ def scalar_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.transform(F.slice(words, 1, 5), lambda x: F.upper(x)).alias("first5_upper"),
-        F.filter(F.slice(words, 1, 20), lambda x: F.length(x) > 4).alias("long_words_20"),
+        F.array_join(
+            F.transform(F.slice(words, 1, 5), lambda x: F.upper(x)), "|"
+        ).alias("first5_upper"),
+        F.array_join(
+            F.filter(F.slice(words, 1, 20), lambda x: F.length(x) > 4), "|"
+        ).alias("long_words_20"),
         F.size(F.filter(words, lambda x: x == F.lit("data"))).cast("long").alias("n_data"),
         F.aggregate(
             F.transform(words, lambda x: F.length(x).cast("long")),

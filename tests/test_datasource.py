@@ -75,23 +75,38 @@ def test_datasource_stream_restart_is_exactly_once(spark, fixture_root, tmp_path
     spark.dataSource.register(FaunaAnimalsDataSource)
     ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
 
-    def start():
-        return (
+    def start(processing_time=None):
+        w = (
             spark.readStream.format("fauna_animals")
             .option("fixture_root", fixture_root)
             .load()
             .writeStream.format("parquet")
             .option("checkpointLocation", ckpt)
             .option("path", out)
-            .start()
         )
+        if processing_time is not None:
+            w = w.trigger(processingTime=processing_time)
+        return w.start()
 
-    q = start()
+    # Phase 1: a long processing-time trigger fires batch 0 immediately
+    # and would not start batch 1 for minutes — stopping once
+    # lastProgress appears guarantees exactly ONE committed micro-batch
+    # (one page), so the restart genuinely resumes mid-stream.
+    import time
+
+    q = start(processing_time="300 seconds")
     try:
-        while not q.recentProgress:  # at least one batch committed
-            q.processAllAvailable()
+        deadline = time.time() + 120
+        while q.lastProgress is None and time.time() < deadline:
+            time.sleep(0.2)
+        assert q.lastProgress is not None, "first micro-batch never committed"
     finally:
         q.stop()
+    mid_ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert 0 < len(mid_ids) < 25, f"expected a strict subset after one batch, got {len(mid_ids)}"
+
+    # Phase 2: restart on the same checkpoint must replay ONLY the
+    # unconsumed pages — every id exactly once across both runs.
     q2 = start()
     try:
         q2.processAllAvailable()

@@ -88,7 +88,6 @@ def test_registry_consistency():
     assert set(ORACLE) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLE)
     expected_rows_only = {
-        "agg_approx_count_distinct",
         "semi_percentile_approx",
         "dedup_minhash_lsh",
         "dedup_simhash64",
