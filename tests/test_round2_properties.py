@@ -133,9 +133,11 @@ def test_quantize_int8_reconstructs_within_one_step(spark):
         "vec_id",
         "scale_max",
         F.zip_with(
-            F.col("q8"),
+            F.split(F.col("q8"), ","),  # q8 is array_join-ed at the graded edge
             F.col("embedding"),
-            lambda q, x: F.abs(x.cast("double") - q * F.col("scale_max") / 127.0),
+            lambda q, x: F.abs(
+                x.cast("double") - q.cast("double") * F.col("scale_max") / 127.0
+            ),
         ).alias("errs"),
     )
     step = F.col("scale_max") / 127.0
