@@ -89,17 +89,10 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_merge")  # sketch bytes are engine-specific → rows-only
-def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (Apache DataSketches HLL):
-    per-segment sketches built in one pass, then UNIONED to re-derive
-    coarser-grained distinct counts WITHOUT re-scanning raw data.
-
-    This is the 100 TB distinct-count pattern: per-partition sketch
-    state is O(k); re-aggregation (segment → global) unions sketches
-    instead of shuffling values.  Estimates are engine-specific →
-    rows-only check here; `tests/test_sketches.py` pins the estimates
-    against exact counts within HLL error bounds."""
+def hll_segment_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_mktsegment, estimate, exact) incl. a union-of-sketches
+    ``__total__`` row — the raw-estimate frame behind
+    ``agg_hll_sketch_merge``; tests pin its estimates directly."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     per_seg = (
@@ -117,6 +110,45 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact").alias("exact_upper"),
     ).select(F.lit("__total__").alias("c_mktsegment"), "estimate", F.col("exact_upper").alias("exact"))
     return seg.unionAll(total)
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT c_mktsegment, exact, TRUE AS est_within_5pct FROM (
+      SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS exact
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment
+      UNION ALL
+      SELECT '__total__', COUNT(DISTINCT o_custkey)
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    per-segment sketches built in one pass, then UNIONED to re-derive
+    coarser-grained distinct counts WITHOUT re-scanning raw data.
+
+    This is the 100 TB distinct-count pattern: per-partition sketch
+    state is O(k); re-aggregation (segment → global) unions sketches
+    instead of shuffling values.  Raw HLL estimates are engine- AND
+    union-order-specific (HIP estimator), so the graded edge carries
+    the exact count plus a ``|est − exact| ≤ 5%`` bound boolean
+    (default lgConfigK=12 → ~1.6% typical error; oracle emits literal
+    TRUE, so an estimator regression hash-mismatches).  Segments are
+    disjoint customer sets, so the ``__total__`` row's exact count
+    equals the global distinct the union sketch estimates.
+    `tests/test_sketches.py` additionally pins the raw estimates."""
+    est = hll_segment_estimates(spark, sf_dir)
+    bound = F.greatest(F.lit(3.0), 0.05 * F.col("exact").cast("double"))
+    return est.select(
+        "c_mktsegment",
+        "exact",
+        (F.abs(F.col("estimate") - F.col("exact").cast("double")) <= bound).alias(
+            "est_within_5pct"
+        ),
+    )
 
 
 @register(

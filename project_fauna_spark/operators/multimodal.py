@@ -101,14 +101,30 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-@register("mm_frame_sample")  # Pandas-UDF stage → rows-only check
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT d.doc_id,
+           g.idx AS frame_idx,
+           CAST(length(substring(d.text, CAST(g.idx*64 + 1 AS INT), 64)) AS BIGINT)
+             AS frame_bytes,
+           substring(sha256(substring(d.text, CAST(g.idx*64 + 1 AS INT), 64)), 1, 8)
+             AS frame_sha8
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+                    0, CAST(ceil(length(d.text)/64.0) AS BIGINT) - 1, 4)) AS idx) g
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling via ``mapInPandas``: payload → every 4th 64-byte
     frame, one output row per sampled frame.
 
     The Arrow-batched Pandas stage is the real multimodal plumbing;
     the "frame" math is byte slicing (a stand-in for video frame
-    extraction, which needs codecs this container lacks).
+    extraction, which needs codecs this container lacks).  Because
+    payloads are ASCII text bytes and both engines agree on sha256,
+    the Pandas stage is fully oracle-checked: DuckDB regenerates every
+    (frame_idx, bytes, digest) row with a lateral ``generate_series``.
     """
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
 

@@ -181,21 +181,43 @@ def semi_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semi_percentile_approx")  # sketch-based → rows-only check
+@register(
+    "semi_percentile_approx",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_values,
+           TRUE AS p50_in_bounds, TRUE AS p95_in_bounds, TRUE AS p99_in_bounds
+    FROM events GROUP BY event_type
+    """,
+)
 def semi_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch) — the scale path for
-    quantiles; exact quantiles of 100 TB need a full sort.  The sketch
-    array is projected to scalar columns (no top-level arrays at the
-    graded edge)."""
+    """approx_percentile (GK-sketch) — the scale path for quantiles;
+    exact quantiles of 100 TB need a full sort.
+
+    The raw estimates are engine-specific, so the graded edge carries
+    deterministic BOUND assertions instead: approx_percentile(q,
+    accuracy=10⁴) guarantees rank error ≤ N/10⁴, so each estimate must
+    lie between the exact q∓10⁻³ quantiles (10× slack).  The oracle's
+    literal TRUEs turn any estimator regression into a hash mismatch —
+    same pattern as ``agg_approx_count_distinct``.
+    """
     e = load_table(spark, sf_dir, "events")
+    qs = [0.5, 0.95, 0.99]
+    delta = 1e-3
     agg = e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_p")
+        F.percentile_approx("value", qs, 10000).alias("_p"),
+        F.percentile("value", F.array(*[F.lit(max(q - delta, 0.0)) for q in qs])).alias("_lo"),
+        F.percentile("value", F.array(*[F.lit(min(q + delta, 1.0)) for q in qs])).alias("_hi"),
+        F.count("*").alias("n_values"),
     )
     return agg.select(
         "event_type",
-        F.col("_p")[0].alias("p50"),
-        F.col("_p")[1].alias("p95"),
-        F.col("_p")[2].alias("p99"),
+        "n_values",
+        *[
+            ((F.col("_p")[i] >= F.col("_lo")[i]) & (F.col("_p")[i] <= F.col("_hi")[i])).alias(
+                f"p{int(q * 100)}_in_bounds"
+            )
+            for i, q in enumerate(qs)
+        ],
     )
 
 
@@ -372,24 +394,68 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_bernoulli")  # RNG is engine-specific → rows-only
+@register(
+    "sample_bernoulli",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substring(md5('bern:' || CAST(l_orderkey AS VARCHAR) || ':'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 4) < '199a'
+    """,
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (~10%) — per-row coin flips, no shuffle,
-    reproducible within Spark for a fixed seed + partitioning."""
+    """Content-hash Bernoulli sample (p = 6554/65536 ≈ 10%), no shuffle.
+
+    Spark's native ``df.sample(seed=...)`` draws per-partition RNG
+    streams, so the selected ROWS change whenever partitioning changes
+    (file splits, AQE, cluster size) — useless for reproducible corpus
+    subsets at 100 TB.  Hashing the row key instead (first 16 bits of
+    md5 under a sampling salt vs a threshold) gives the same sample on
+    any engine, any layout — and an exact DuckDB oracle.
+    """
     l = load_table(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).select(
+    hk = F.md5(
+        F.concat_ws(":", F.lit("bern"), F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    return l.filter(F.substring(hk, 1, 4) < "199a").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
 
-@register("sample_stratified")  # RNG is engine-specific → rows-only
+# fraction → first-16-bits-of-md5 hex threshold (floor(f·65536) as %04x)
+_STRATA = {"view": "0ccd", "click": "3333", "purchase": None, "signup": None, "error": "8000"}
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_sampled
+    FROM events
+    WHERE CASE event_type
+            WHEN 'view'  THEN substring(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 4) < '0ccd'
+            WHEN 'click' THEN substring(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 4) < '3333'
+            WHEN 'error' THEN substring(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 4) < '8000'
+            ELSE TRUE END
+    GROUP BY event_type
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: per-stratum fractions via sampleBy — the
-    class-balance primitive for training-data curation."""
+    """Stratified sample via per-stratum content-hash thresholds — the
+    class-balance primitive for training-data curation (rare classes
+    kept at 100%, dominant classes downsampled).
+
+    Same determinism argument as ``sample_bernoulli``: ``sampleBy``'s
+    RNG is partition-layout-dependent; hashing ``event_id`` fixes the
+    sample across engines and cluster shapes, so the per-stratum counts
+    are exact — not expectations.
+    """
     e = load_table(spark, sf_dir, "events")
-    fractions = {"view": 0.05, "click": 0.2, "purchase": 1.0, "signup": 1.0, "error": 0.5}
-    sampled = e.sampleBy("event_type", fractions, seed=7)
-    return sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+    hk = F.substring(F.md5(F.concat_ws(":", F.lit("strat"), F.col("event_id"))), 1, 4)
+    cond = F.lit(True)
+    for etype, thr in _STRATA.items():
+        if thr is not None:
+            cond = F.when(F.col("event_type") == etype, hk < thr).otherwise(cond)
+    return e.filter(cond).groupBy("event_type").agg(F.count("*").alias("n_sampled"))
 
 
 @register(

@@ -88,18 +88,16 @@ def test_registry_consistency():
     assert set(ORACLE) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLE)
     expected_rows_only = {
-        "semi_percentile_approx",
+        # xxhash64/murmur sketches: Spark-deterministic, not SQL-portable
         "dedup_minhash_lsh",
         "dedup_simhash64",
         "text_hashed_tf",
-        "mm_frame_sample",
+        # real binary decode (BMP) — no SQL equivalent
         "mm_decode_features",
-        "sample_bernoulli",
-        "sample_stratified",
+        # spark.ml twins of the exact oracled implementations
         "ml_tfidf_pipeline",
         "ml_minhash_lsh",
         "ml_brp_lsh_neighbors",
-        "agg_hll_sketch_merge",  # sketch estimates engine-specific; test_sketches pins accuracy
     }
     assert rows_only == expected_rows_only, rows_only ^ expected_rows_only
 

@@ -1,23 +1,25 @@
 """Accuracy pins for the mergeable-sketch operators.
 
-`agg_hll_sketch_merge` is rows-only at the driver gate (sketch
-estimates are engine-specific), so this test carries the correctness
-burden: estimates must sit within HLL error bounds of the exact
-distinct counts, and the union-of-sketches total must agree with the
-directly-computed global distinct.
+`agg_hll_sketch_merge`'s graded edge carries only exact counts and
+bound booleans (raw HIP estimates are engine/union-order specific);
+this test pins the raw estimates via the underlying
+`hll_segment_estimates` frame: estimates must sit within HLL error
+bounds of the exact distinct counts, and the union-of-sketches total
+must agree with the directly-computed global distinct.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from project_fauna_spark.operators.modern_sql import hll_segment_estimates
 from project_fauna_spark.plans import QUERIES
 
 SF_DIR = "/root/testdata/sf0.01"
 
 
 def test_hll_estimates_within_bounds(spark):
-    rows = {r["c_mktsegment"]: r for r in QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()}
+    rows = {r["c_mktsegment"]: r for r in hll_segment_estimates(spark, SF_DIR).collect()}
     total = rows.pop("__total__")
     assert len(rows) == 5
     for seg, r in rows.items():
@@ -42,7 +44,7 @@ def test_hll_union_tracks_direct_global_sketch(spark):
     ).collect()[0]["est"]
     rows = {
         r["c_mktsegment"]: r
-        for r in QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+        for r in hll_segment_estimates(spark, SF_DIR).collect()
     }
     merged, exact = rows["__total__"]["estimate"], rows["__total__"]["exact"]
     assert abs(direct - exact) <= 0.05 * exact
