@@ -1,0 +1,214 @@
+"""Physical-layout and sketch operators (round 3).
+
+* ``layout_zorder_stats`` — Z-order (Morton) clustering of a fact
+  table on two dimensions plus the per-bucket min/max statistics a
+  data-skipping reader consumes: the layout-optimization story for
+  multi-dimensional predicates at 100 TB (Delta/Iceberg ``ZORDER BY``,
+  parquet footer min/max pruning).
+* ``sketch_cms_heavy_hitters`` — count-min sketch frequency estimation
+  over the event stream, compared against exact heavy-hitter counts.
+  The sketch table is a fixed 4×256 grid of map-combinable counters, so
+  at any scale the shuffle carries ≤1024 cells per partition, not the
+  key universe.
+
+Both are pure integer math (bit interleaving; md5-hex bucket hashing),
+so cross-engine parity is exact by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans.registry import register
+
+_ZBITS = 10  # 10 bits per dimension → 20-bit Morton code
+_ZBUCKET_SHIFT = 14  # 2^20 codes / 2^14 = 64 buckets ("files")
+
+
+def _morton(x: Column, y: Column, bits: int = _ZBITS) -> Column:
+    """Interleave the low ``bits`` of x (even positions) and y (odd):
+    the classic Z-order curve, as one codegen'd integer expression."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def _sql_morton(x: str, y: str, bits: int = _ZBITS) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(parts)
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+             CAST((l_suppkey * 131 + l_linenumber) % 1024 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    z AS (
+      SELECT x, y, ({_sql_morton('x', 'y')}) >> {_ZBUCKET_SHIFT} AS bucket
+      FROM pts
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y,
+           NOT (MAX(x) >= 100 AND MIN(x) <= 163) AS prune_x,
+           NOT (MAX(y) >= 400 AND MIN(y) <= 463) AS prune_y
+    FROM z GROUP BY bucket
+    """,
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout statistics: map each lineitem row to a 20-bit
+    Morton code over (partkey, suppkey) low bits, group the curve into
+    64 equal code-range buckets (stand-ins for files), and emit the
+    per-bucket min/max column ranges plus the pruning verdict for one
+    probe predicate per dimension.
+
+    This is exactly what ``OPTIMIZE ... ZORDER BY (a, b)`` buys at
+    100 TB: because the Morton curve localizes BOTH dimensions, a
+    64-value range predicate on either column overlaps only ~1/8 of
+    the buckets (vs 100% of them for the non-clustered dimension of a
+    lexicographic sort), and the reader skips the rest on footer
+    min/max alone.  The query itself is one map-combined hash
+    aggregation over a codegen'd integer expression — no shuffle wider
+    than 64 groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_partkey") % 1024).cast("long").alias("x"),
+        ((F.col("l_suppkey") * 131 + F.col("l_linenumber")) % 1024)
+        .cast("long")
+        .alias("y"),
+    )
+    z = pts.select(
+        "x", "y", F.shiftright(_morton(F.col("x"), F.col("y")), _ZBUCKET_SHIFT).alias("bucket")
+    )
+    stats = z.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+    return stats.select(
+        "bucket",
+        "n",
+        "min_x",
+        "max_x",
+        "min_y",
+        "max_y",
+        (~((F.col("max_x") >= 100) & (F.col("min_x") <= 163))).alias("prune_x"),
+        (~((F.col("max_y") >= 400) & (F.col("min_y") <= 463))).alias("prune_y"),
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256  # two md5 hex chars
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _cms_bucket(key: Column, j: int) -> Column:
+    """Row-j CMS bucket of a key: first two hex chars of a salted md5,
+    mapped to 0..255 via digit positions (portable — no hex→int cast
+    needed on either engine)."""
+    h = F.md5(F.concat(F.lit(f"cms{j}:"), key))
+    hi = F.instr(F.lit(_HEXDIGITS), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(_HEXDIGITS), F.substring(h, 2, 1)) - 1
+    return (hi * 16 + lo).cast("int")
+
+
+def _sql_cms_bucket(key: str, j: int) -> str:
+    h = f"md5('cms{j}:' || {key})"
+    return (
+        f"CAST((strpos('{_HEXDIGITS}', substring({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEXDIGITS}', substring({h}, 2, 1)) - 1) AS INT)"
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS j, {_sql_cms_bucket('k', j)} AS bucket, COUNT(*) AS c "
+          f"FROM keyed GROUP BY 1, 2"
+          for j in range(_CMS_DEPTH)
+      )}
+    ),
+    exact AS (
+      SELECT k, COUNT(*) AS exact_n FROM keyed GROUP BY k
+      ORDER BY exact_n DESC, k LIMIT 20
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT k, exact_n, {j} AS j, {_sql_cms_bucket('k', j)} AS bucket FROM exact"
+          for j in range(_CMS_DEPTH)
+      )}
+    )
+    SELECT CAST(p.k AS BIGINT) AS user_id, p.exact_n,
+           MIN(c.c) AS cms_est,
+           MIN(c.c) >= p.exact_n AS never_underestimates
+    FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.k, p.exact_n
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: estimate event counts per user from a fixed
+    4×256 counter grid, then compare against the exact counts of the
+    top-20 heaviest users (the sketch's one-sided error guarantee —
+    never an underestimate — is emitted as a checked column).
+
+    Scale shape: the sketch build explodes each row into 4 (row,
+    bucket) cells and map-combines them, so the shuffle after partial
+    aggregation is ≤1024 rows per task REGARDLESS of the key
+    cardinality — this is why CMS (not exact counting) is the
+    streaming/distributed frequency primitive at 100 TB.  The exact
+    side here exists only to verify the estimates; the probe join
+    touches 80 broadcast rows.  Bucket hashing is md5-hex digit math,
+    identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    cell_frames = [
+        ev.groupBy(_cms_bucket(F.col("k"), j).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(j).alias("j"), "bucket", "c")
+        for j in range(_CMS_DEPTH)
+    ]
+    cells = functools.reduce(lambda a, b: a.unionAll(b), cell_frames)
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "k")
+        .limit(20)
+    )
+    probe_frames = [
+        exact.select("k", "exact_n", F.lit(j).alias("j"), _cms_bucket(F.col("k"), j).alias("bucket"))
+        for j in range(_CMS_DEPTH)
+    ]
+    probes = functools.reduce(lambda a, b: a.unionAll(b), probe_frames)
+    return (
+        F.broadcast(probes)
+        .join(cells, ["j", "bucket"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
+        )
+    )

@@ -266,6 +266,82 @@ def llm_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_mixture_temperature",
+    oracle="""
+    WITH st AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS total FROM st),
+    sq AS (
+      SELECT lang, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+             sqrt(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) AS s
+      FROM st, tot
+    ),
+    nrm AS (
+      SELECT list_reduce([CAST(0.0 AS DOUBLE)] || list(s ORDER BY lang),
+                         (a, b) -> a + b) AS norm
+      FROM sq
+    ),
+    fr AS (
+      SELECT lang, LEAST(CAST(1.0 AS DOUBLE), 0.5 * (s / norm) / p) AS keep_frac
+      FROM sq, nrm
+    )
+    SELECT d.doc_id, d.lang,
+           substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS hk
+    FROM documents d JOIN fr USING (lang)
+    WHERE fr.keep_frac >= 1.0
+       OR substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < lower(lpad(to_hex(CAST(floor(fr.keep_frac * 65536) AS BIGINT)), 4, '0'))
+    """,
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language-mixture sampling (α = 0.5): target
+    language share q_l ∝ p_l^α renormalized, realized by keeping each
+    document iff its content-hash fraction clears the per-language
+    acceptance ratio 0.5·(q_l/p_l) — the multilingual-corpus rebalance
+    every LLM data pipeline runs (low-resource languages are upsampled
+    RELATIVE to their natural share; the 0.5 budget factor keeps every
+    acceptance < 1 so no duplication is needed).
+
+    Parity: p and √p are per-row IEEE ops on identical doubles; the
+    5-term normalizer folds in lang-sorted order (index-ordered-fold
+    convention — a bare SUM(double) would be shuffle-order-dependent);
+    the md5 threshold is the engine's deterministic sampling pattern
+    (same sample on any cluster shape, which is what reproducible
+    curation needs).  Scale: the language table is tiny (aggregate +
+    broadcast back); the corpus pass is a zero-shuffle filter.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = st.agg(F.sum("n").alias("total"))
+    sq = st.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
+        F.sqrt(F.col("n").cast("double") / F.col("total").cast("double")).alias("s"),
+    )
+    nrm = sq.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("norm")
+    )
+    fr = sq.crossJoin(F.broadcast(nrm)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), 0.5 * (F.col("s") / F.col("norm")) / F.col("p")
+        ).alias("keep_frac"),
+    )
+    hk = F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4)
+    thr = F.lower(
+        F.lpad(F.hex(F.floor(F.col("keep_frac") * 65536).cast("long")), 4, "0")
+    )
+    return (
+        d.join(F.broadcast(fr), "lang")
+        .filter((F.col("keep_frac") >= 1.0) | (hk < thr))
+        .select("doc_id", "lang", hk.alias("hk"))
+    )
+
+
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
 

@@ -15,9 +15,10 @@ overwrite).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.io import load_table
+from project_fauna_spark.operators._oracle_shared import SQL_TS_FMT, TS_FMT, _fmt_ts
 from project_fauna_spark.plans.registry import register
 
 
@@ -70,3 +71,83 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
     )
     return merge_upsert(target, updates, "c_custkey")
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH runs AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                  IS DISTINCT FROM o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM orders
+    ),
+    isl AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM runs
+    ),
+    g AS (
+      SELECT o_custkey, o_orderstatus, version,
+             MIN(o_orderdate) AS vf, COUNT(*) AS n_orders
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           CAST(version AS INT) AS version,
+           strftime(vf, '{SQL_TS_FMT}') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+                    '{SQL_TS_FMT}') AS valid_to,
+           lead(vf) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL
+             AS is_current,
+           n_orders
+    FROM g
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change stream:
+    treat each customer's order-status sequence as CDC events, collapse
+    consecutive equal values into versioned validity intervals
+    (valid_from / valid_to half-open, NULL valid_to = current row) —
+    the standard MERGE-into-history shape every warehouse CDC consumer
+    runs, expressed as gaps-and-islands windows instead of a
+    row-at-a-time loop.
+
+    Scale: both windows and the aggregate share ONE hash exchange on
+    o_custkey (Catalyst reuses the partitioning; per-customer state is
+    bounded by that customer's change count).  Timestamps are formatted
+    at the compared edge per the engine convention; (date, orderkey)
+    tie-breaks make island boundaries engine-order-independent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w_seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            ~F.lag("o_orderstatus").over(w_seq).eqNullSafe(F.col("o_orderstatus")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    isl = runs.withColumn(
+        "version",
+        F.sum("chg").over(w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    g = isl.groupBy("o_custkey", "o_orderstatus", "version").agg(
+        F.min("o_orderdate").alias("vf"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w_ver = W.partitionBy("o_custkey").orderBy("version")
+    nxt = F.lead("vf").over(w_ver)
+    return g.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("version").cast("int").alias("version"),
+        _fmt_ts("vf", TS_FMT).alias("valid_from"),
+        _fmt_ts(nxt, TS_FMT).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_orders",
+    )
