@@ -10,9 +10,12 @@
   The sketch table is a fixed 4×256 grid of map-combinable counters, so
   at any scale the shuffle carries ≤1024 cells per partition, not the
   key universe.
+* ``dedup_simhash_md5`` — SimHash near-dup candidates on a 16-bit
+  md5-derived fingerprint: the oracle-checkable twin of
+  ``dedup.dedup_simhash64`` (whose xxhash64 exists only in Spark).
 
-Both are pure integer math (bit interleaving; md5-hex bucket hashing),
-so cross-engine parity is exact by construction.
+All three are pure integer math (bit interleaving; md5-hex digit
+hashing), so cross-engine parity is exact by construction.
 """
 
 from __future__ import annotations
@@ -211,4 +214,124 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_est",
             (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
         )
+    )
+
+
+def _h16(word: Column) -> Column:
+    """Portable 16-bit word hash: first 4 hex digits of md5, mapped via
+    digit positions (no hex→int cast on either engine)."""
+    h = F.md5(word)
+    val = F.lit(0)
+    for pos in range(4):
+        d = F.instr(F.lit(_HEXDIGITS), F.substring(h, pos + 1, 1)) - 1
+        val = val * 16 + d
+    return val.cast("long")
+
+
+def _sql_h16(word: str) -> str:
+    h = f"md5({word})"
+    terms = [
+        f"(strpos('{_HEXDIGITS}', substring({h}, {pos + 1}, 1)) - 1) * {16 ** (3 - pos)}"
+        for pos in range(4)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "dedup_simhash_md5",
+    oracle=f"""
+    WITH wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY doc_id, word
+    ),
+    hashed AS (SELECT doc_id, {_sql_h16('word')} AS h, cnt FROM wc),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{i}"
+                 for i in range(16)
+             )}
+      FROM hashed GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END) * {1 << i}" for i in range(16)
+             )} AS BIGINT) AS simhash
+      FROM votes
+    ),
+    banded AS (
+      SELECT doc_id, simhash, simhash >> 8 AS band_hi, simhash & 255 AS band_lo
+      FROM fp
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.doc_id < b.doc_id
+     AND (a.band_hi = b.band_hi OR a.band_lo = b.band_lo)
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate candidates with an EXACT cross-engine
+    oracle: 16-bit fingerprints from md5-hex word hashes (every vote,
+    bit, band, and Hamming distance integer-reproducible in DuckDB —
+    the oracled twin of the xxhash64-based ``dedup_simhash64``, whose
+    hash function exists only in Spark).
+
+    Pipeline: per-doc word counts vote ±count on each of 16 bit
+    positions; the sign vector is the fingerprint; two 8-bit bands
+    block candidate pairs (any doc pair within Hamming distance 1
+    shares a band by pigeonhole; the filter keeps distance ≤ 2);
+    banded equi-joins + a bit_count(xor) verify.  Scale: one explode +
+    one 16-column map-combined aggregate; the pair join is equi on
+    band value — never all-pairs.  (The production variant widens to
+    64 bits / 4 bands — ``dedup_simhash64`` — at identical plan
+    shape; this one trades width for oracle checkability.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashed = wc.select("doc_id", _h16(F.col("word")).alias("h"), "cnt")
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"v{i}")
+            for i in range(16)
+        ]
+    )
+    fp = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    banded = votes.select(
+        "doc_id",
+        fp.alias("simhash"),
+        F.shiftright(fp, 8).alias("band_hi"),
+        fp.bitwiseAND(F.lit(255)).alias("band_lo"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hi = a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("a.band_hi") == F.col("b.band_hi")))
+    lo = a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("a.band_lo") == F.col("b.band_lo")))
+    pairs = hi.unionAll(lo)
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .distinct()
     )

@@ -266,6 +266,124 @@ def llm_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_sql_round(prev: str, r: int) -> str:
+    """One BPE round as SQL CTE text: count pairs on {prev}, rank the
+    top-5 candidates, apply the #1 merge → s{r}."""
+    return f"""
+    pc{r} AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest([syms[i] || ' ' || syms[i+1] for i in range(1, len(syms))]) AS pair, n
+        FROM (SELECT string_split(trim({prev}.seq), ' ') AS syms, n FROM {prev})
+        WHERE len(syms) >= 2
+      ) GROUP BY pair
+    ),
+    top{r} AS (
+      SELECT {r} AS round, pair, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+      FROM pc{r} ORDER BY cnt DESC, pair LIMIT 5
+    ),
+    s{r} AS (
+      SELECT replace({prev}.seq, ' ' || t.pair || ' ',
+                     ' ' || replace(t.pair, ' ', '') || ' ') AS seq, n
+      FROM {prev}, (SELECT pair FROM top{r} WHERE rank = 1) t
+    )"""
+
+
+@register(
+    "llm_bpe_train_merges",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    s0 AS (
+      SELECT ' ' || array_to_string([word[i:i] for i in range(1, length(word)+1)], ' ')
+               || ' ' AS seq, n
+      FROM wc
+    ),
+    {_bpe_sql_round('s0', 1)},
+    {_bpe_sql_round('s1', 2)},
+    {_bpe_sql_round('s2', 3)}
+    SELECT * FROM top1 UNION ALL SELECT * FROM top2 UNION ALL SELECT * FROM top3
+    """,
+)
+def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled rounds of BPE tokenizer training: count
+    corpus-weighted adjacent-symbol pairs over the word-type table,
+    adopt the most frequent pair as a merge rule, rewrite the symbol
+    sequences, repeat.  Emits each round's top-5 merge candidates
+    (rank 1 = the adopted rule) — the actual training loop, not just
+    the counting step (``llm_bpe_pair_counts``).
+
+    Merge application is a single leftmost-non-overlapping pass over
+    the sentinel-spaced symbol sequence (verified identical scan
+    semantics in both engines); adjacent pairs come from the
+    zipped-slice shape (HOF lambda touches only its element).  Scale:
+    every round is vocabulary-sized (word TYPES with counts, not the
+    token stream) — one map-combined aggregate + a 1-row broadcast for
+    the adopted rule; real trainers run exactly this loop with the
+    merge table, not the corpus, on the driver.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    seqs = wc.select(
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seq"), "n"
+    )
+
+    def pair_top5(s: DataFrame, rnd: int) -> DataFrame:
+        syms = F.split(F.trim(F.col("seq")), " ")
+        k = F.greatest(F.size(syms) - 1, F.lit(0))
+        zipped = F.slice(
+            F.arrays_zip(syms.alias("a"), F.slice(syms, 2, k).alias("b")), 1, k
+        )
+        pairs = F.transform(zipped, lambda z: F.concat(z.a, F.lit(" "), z.b))
+        return (
+            s.select(F.explode(pairs).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(5)
+            .select(
+                F.lit(rnd).alias("round"),
+                "pair",
+                "cnt",
+                F.row_number()
+                .over(W.orderBy(F.col("cnt").desc(), "pair"))
+                .cast("int")
+                .alias("rank"),
+            )
+        )
+
+    def apply_merge(s: DataFrame, top5: DataFrame) -> DataFrame:
+        rule = top5.filter(F.col("rank") == 1).select("pair")
+        return s.crossJoin(F.broadcast(rule)).select(
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+                ),
+            ).alias("seq"),
+            "n",
+        )
+
+    outs = []
+    cur = seqs
+    for rnd in (1, 2, 3):
+        top5 = pair_top5(cur, rnd)
+        outs.append(top5)
+        if rnd < 3:
+            cur = apply_merge(cur, top5)
+    return outs[0].unionAll(outs[1]).unionAll(outs[2])
+
+
 @register(
     "llm_mixture_temperature",
     oracle="""

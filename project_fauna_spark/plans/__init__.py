@@ -40,6 +40,7 @@ import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
 import project_fauna_spark.operators.analytics  # noqa: F401,E402
 import project_fauna_spark.operators.warehouse  # noqa: F401,E402
 import project_fauna_spark.operators.layout  # noqa: F401,E402
+import project_fauna_spark.operators.clustering  # noqa: F401,E402
 # --- driver-green in round 2: back of the rotation ---
 import project_fauna_spark.operators.reference_queries  # noqa: F401,E402
 import project_fauna_spark.operators.relational  # noqa: F401,E402
