@@ -1,0 +1,147 @@
+"""Semantic invariants for the round-3 curation operators.
+
+The oracle gate proves cross-engine equality; these tests prove the
+operators mean what they claim — properties that would survive even if
+both engines shared a bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from project_fauna_spark.io import load_table
+from project_fauna_spark.plans import QUERIES  # must precede any direct operator import
+from project_fauna_spark.operators.curation import _SEM_TAU, _grouped_ntile
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_exact_substring_shares_are_valid_and_symmetric(spark):
+    """dup counts are bounded by gram counts; a gram flagged duplicated
+    for one document must be flagged in every document containing it."""
+    out = QUERIES["dedup_exact_substring"](spark, SF)
+    assert out.filter(
+        (F.col("n_dup_grams") > F.col("n_grams"))
+        | (F.col("dup_share") < 0)
+        | (F.col("dup_share") > 1)
+    ).count() == 0
+    # every document with >= 8 tokens appears exactly once
+    d = load_table(spark, SF, "documents").filter(
+        F.size(F.split("text", " ")) >= 8
+    )
+    assert out.count() == d.count()
+
+
+def test_exact_substring_detects_injected_duplicate(spark):
+    """Two documents sharing a verbatim 8-token run must both report
+    at least one duplicated gram."""
+    docs = load_table(spark, SF, "documents").limit(0)
+    probe = docs.sparkSession.createDataFrame(
+        [
+            (900001, "a b c d e f g h unique1 tail1", "en", "t", 1),
+            (900002, "lead2 a b c d e f g h unique2", "en", "t", 1),
+            (900003, "no overlap here at all nine words pad", "en", "t", 1),
+        ],
+        docs.schema,
+    )
+    from project_fauna_spark.operators.curation import _token_grams
+
+    g = probe.select("doc_id", F.explode(_token_grams(F.col("text"))).alias("gram"))
+    c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (
+        g.join(c, "gram")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("nd"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["nd"] for r in dup}
+    assert by_id[900001] >= 1 and by_id[900002] >= 1
+    assert by_id[900003] == 0
+
+
+def test_grouped_ntile_matches_global_window_spelling(spark):
+    """The distributed per-group NTILE is bit-identical to the plain
+    ntile window over every group."""
+    d = load_table(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    got = _grouped_ntile(d, "lang", order, 5, "b")
+    w = W.partitionBy("lang").orderBy(*order)
+    want = d.withColumn("b", F.ntile(5).over(w).cast("long"))
+    assert got.select("doc_id", "b").exceptAll(want.select("doc_id", "b")).count() == 0
+    assert want.select("doc_id", "b").exceptAll(got.select("doc_id", "b")).count() == 0
+
+
+def test_ccnet_buckets_are_balanced_per_lang(spark):
+    """Tertile sizes within a language differ by at most one, and the
+    head bucket's scores dominate the tail bucket's."""
+    out = QUERIES["llm_ccnet_buckets"](spark, SF).cache()
+    sizes = out.groupBy("lang", "bucket").count()
+    spread = sizes.groupBy("lang").agg(
+        (F.max("count") - F.min("count")).alias("d"), F.count(F.lit(1)).alias("nb")
+    )
+    assert spread.filter((F.col("d") > 1) | (F.col("nb") != 3)).count() == 0
+    edges = out.groupBy("lang").pivot("bucket", [1, 3]).agg(
+        F.min("lm_score").alias("mn"), F.max("lm_score").alias("mx")
+    )
+    # min score of the head tertile >= max score of the tail tertile
+    assert edges.filter(F.col("1_mn") < F.col("3_mx")).count() == 0
+    out.unpersist()
+
+
+def test_semantic_dedup_keeps_one_representative_per_cell(spark):
+    out = QUERIES["dedup_semantic_ivf"](spark, SF).cache()
+    # inside the redundant pool of each cell: exactly one keep, and it
+    # has the maximal cosine
+    red = out.filter(F.col("cos") >= _SEM_TAU)
+    per_cell = red.groupBy("cell").agg(
+        F.sum(F.when(F.col("action") == "keep", 1).otherwise(0)).alias("keeps"),
+        F.max("cos").alias("mx"),
+        F.max(F.when(F.col("action") == "keep", F.col("cos"))).alias("kept_cos"),
+    )
+    assert per_cell.filter(F.col("keeps") != 1).count() == 0
+    assert per_cell.filter(F.col("kept_cos") != F.col("mx")).count() == 0
+    # below-threshold vectors are never dropped
+    assert out.filter(
+        (F.col("cos") < _SEM_TAU) & (F.col("action") != "keep")
+    ).count() == 0
+    # every embedding is accounted for exactly once
+    assert out.count() == load_table(spark, SF, "embeddings").count()
+    out.unpersist()
+
+
+def test_mv_incremental_merge_equals_full_recompute(spark):
+    """The partial-state merge must equal a cold one-pass aggregate."""
+    merged = QUERIES["mv_incremental_merge"](spark, SF)
+    o = load_table(spark, SF, "orders")
+    full = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("total_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_record_linkage_scores_are_consistent_and_blocked(spark):
+    out = QUERIES["link_blocked_records"](spark, SF).cache()
+    bad = out.filter(
+        F.col("score")
+        != 3 * F.col("type_agree") + 2 * F.col("noun_agree") + F.col("price_close")
+    )
+    assert bad.count() == 0
+    assert out.filter(F.col("score") < 3).count() == 0
+    assert out.filter(F.col("pk_a") >= F.col("pk_b")).count() == 0
+    # every surviving pair really shares brand and size (blocking is sound)
+    p = load_table(spark, SF, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = (
+        out.join(p.withColumnRenamed("p_partkey", "pk_a"), "pk_a")
+        .withColumnRenamed("p_brand", "ba")
+        .withColumnRenamed("p_size", "sa")
+        .join(p.withColumnRenamed("p_partkey", "pk_b"), "pk_b")
+    )
+    assert joined.filter(
+        (F.col("ba") != F.col("p_brand")) | (F.col("sa") != F.col("p_size"))
+    ).count() == 0
+    out.unpersist()
