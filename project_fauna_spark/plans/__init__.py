@@ -29,6 +29,7 @@ import project_fauna_spark.operators.udf_surface  # noqa: F401,E402
 # --- queued for the round-4 window ---
 import project_fauna_spark.operators.llm_extras  # noqa: F401,E402
 import project_fauna_spark.operators.curation  # noqa: F401,E402
+import project_fauna_spark.operators.extras3  # noqa: F401,E402
 import project_fauna_spark.operators.multimodal  # noqa: F401,E402
 import project_fauna_spark.operators.upsert  # noqa: F401,E402
 import project_fauna_spark.operators.ml_feature  # noqa: F401,E402

@@ -145,3 +145,40 @@ def test_record_linkage_scores_are_consistent_and_blocked(spark):
         (F.col("ba") != F.col("p_brand")) | (F.col("sa") != F.col("p_size"))
     ).count() == 0
     out.unpersist()
+
+
+def test_benford_shares_sum_to_one_and_cover_all_digits(spark):
+    rows = QUERIES["dq_benford_first_digit"](spark, SF).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["expected"] for r in rows) - 1.0) < 1e-9
+    assert all(r["abs_dev"] >= 0 for r in rows)
+
+
+def test_oov_rate_is_zero_iff_all_tokens_in_vocab(spark):
+    out = QUERIES["llm_oov_rate"](spark, SF)
+    assert out.filter((F.col("n_oov") > F.col("n_tokens")) | (F.col("oov_rate") < 0) | (F.col("oov_rate") > 1)).count() == 0
+    zero = out.filter(F.col("oov_rate") == 0.0)
+    assert zero.filter(F.col("n_oov") != 0).count() == 0
+
+
+def test_temporal_scd2_assigns_the_active_tier(spark):
+    """Every joined view falls inside its tier interval, and each view
+    matches at most one interval (intervals partition time)."""
+    out = QUERIES["join_temporal_scd2"](spark, SF).cache()
+    assert out.filter(F.col("view_ts") < F.col("tier_since")).count() == 0
+    dup = out.groupBy("event_id").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    out.unpersist()
+
+
+def test_doc_keywords_top3_and_scores_ranked(spark):
+    out = QUERIES["text_doc_keywords"](spark, SF).cache()
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") > 3).count() == 0
+    w = W.partitionBy("doc_id").orderBy("rk")
+    mono = out.withColumn("prev", F.lag("score").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("score") > F.col("prev"))
+    )
+    assert mono.count() == 0
+    out.unpersist()
