@@ -303,3 +303,342 @@ def text_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "word", "tf", "score", "rk")
     )
+
+
+@register(
+    "llm_sample_temperature_mix",
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    lt AS (
+      SELECT lang, COUNT(*) AS n_tokens FROM w WHERE word <> '' GROUP BY lang
+    ),
+    ld AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM lt),
+    s AS (
+      SELECT ld.lang, ld.n_docs, lt.n_tokens,
+             CAST(lt.n_tokens AS DOUBLE) / t.total AS share,
+             sqrt(CAST(lt.n_tokens AS DOUBLE) / t.total) AS w_raw
+      FROM ld JOIN lt USING (lang) CROSS JOIN t
+    ),
+    z AS (
+      SELECT CAST(CAST(SUM(CAST(w_raw AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS zsum
+      FROM s
+    )
+    SELECT s.lang, s.n_docs, s.n_tokens, s.share,
+           s.w_raw / z.zsum AS weight,
+           (s.w_raw / z.zsum) * t.total AS expected_tokens
+    FROM s CROSS JOIN z CROSS JOIN t
+    """,
+)
+def llm_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax/mT5-style temperature-sampled language mixing at T=2:
+    per-language token shares are re-weighted by share^(1/T) = √share
+    and renormalized, boosting tail languages — the standard recipe for
+    balancing multilingual pretraining corpora.
+
+    T=2 is deliberate: ``sqrt`` is IEEE-correctly-rounded on both
+    engines, whereas general ``pow`` is libm-dependent and would break
+    bit parity.  The √share sum is decimal-accumulated over the tiny
+    per-language table (the only cross-row double sum); every other
+    edge is a per-row division or multiply.  Everything after the one
+    map-combined token count is keyspace-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("lang", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    lt = w.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tokens"))
+    ld = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = lt.agg(F.sum("n_tokens").alias("total"))
+    s = (
+        ld.join(lt, "lang")
+        .crossJoin(F.broadcast(t))
+        .withColumn("share", F.col("n_tokens").cast("double") / F.col("total"))
+        .withColumn("w_raw", F.sqrt(F.col("share")))
+    )
+    z = s.agg(
+        F.sum(F.col("w_raw").cast("decimal(30,8)")).cast("double").alias("zsum")
+    )
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "share",
+            (F.col("w_raw") / F.col("zsum")).alias("weight"),
+            ((F.col("w_raw") / F.col("zsum")) * F.col("total")).alias(
+                "expected_tokens"
+            ),
+        )
+    )
+
+
+@register(
+    "window_percent_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8)))
+               AS dec_rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(CAST(dec_rev AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(dec_rev AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(dec_rev) OVER (PARTITION BY region) AS VARCHAR) AS DOUBLE)
+             AS region_share
+    FROM rev
+    """,
+)
+def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its
+    region's total — the percent-of-total window pattern over the
+    supplier→nation→region rollup.
+
+    The revenue aggregate is decimal-exact; the region total is a
+    decimal window sum over the 25-row nation aggregate (keyspace-
+    sized — a window here is NOT the RFM scale trap); both cast to
+    double only at the final division.  Dimensions broadcast into the
+    lineitem scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,8)"
+                )
+            ).alias("dec_rev")
+        )
+    )
+    w = W.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("dec_rev").cast("double").alias("revenue"),
+        (
+            F.col("dec_rev").cast("double")
+            / F.sum("dec_rev").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+@register(
+    "q_market_basket_lift",
+    oracle="""
+    WITH ib AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT brand, COUNT(*) AS n FROM ib GROUP BY brand),
+    t AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ib),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS nab
+      FROM ib a JOIN ib b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, nab,
+           CAST(nab AS DOUBLE) / t.n_orders AS support,
+           CAST(nab AS DOUBLE) / na.n AS confidence,
+           CAST(nab * t.n_orders AS DOUBLE) / CAST(na.n * nbb.n AS DOUBLE) AS lift
+    FROM pairs
+    JOIN nb na ON na.brand = pairs.brand_a
+    JOIN nb nbb ON nbb.brand = pairs.brand_b
+    CROSS JOIN t
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    brand pair co-occurring in an order, support, confidence and lift
+    = P(ab)·N / (n_a·n_b); top-20 by lift.
+
+    Shape: distinct (order, brand) reduction FIRST (basket-bounded),
+    pair generation via self-join on the order key (quadratic only in
+    the per-basket distinct-brand count — baskets are small by
+    construction, the classic market-basket bound), two brand-count
+    broadcasts, and a TakeOrdered top-20.  All ratios are single
+    per-row integer→double divisions; the integer products stay far
+    below 2^53 (counts ≤ orders).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    ib = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = ib.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    t = ib.agg(F.countDistinct("ok").alias("n_orders"))
+    a = ib.select(F.col("ok"), F.col("brand").alias("brand_a"))
+    b = ib.select(F.col("ok"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    na = nb.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    nbb = nb.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nbb), "brand_b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "brand_a",
+            "brand_b",
+            "nab",
+            (F.col("nab").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("nab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("nab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_COS = """
+  list_reduce(list_transform(range(1, len({a})+1), k -> {a}[k] * {b}[k]), (s,v) -> s+v)
+  / sqrt( list_reduce(list_transform({a}, x -> x*x), (s,v) -> s+v)
+        * list_reduce(list_transform({b}, x -> x*x), (s,v) -> s+v) )
+"""
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled MMR selection rounds as DuckDB CTE text (the
+    ``llm_bpe_train_merges`` oracle-generation pattern)."""
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, emb, {_MMR_COS.format(a='emb', b='qemb')} AS rel
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {_MMR_COS.format(a='a.emb', b='b.emb')} AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel, rel AS score, 1 AS rnd
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        parts.append(f"""
+    s{r} AS (
+      SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * m.ms AS score, {r} AS rnd
+      FROM cand c
+      JOIN (SELECT a_id, MAX(sim) AS ms FROM sims
+            WHERE b_id IN (SELECT vec_id FROM sel{r-1}) GROUP BY a_id) m
+        ON m.a_id = c.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r-1})
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    sel{r} AS (SELECT vec_id FROM sel{r-1} UNION ALL SELECT vec_id FROM s{r})""")
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, rel, score, rnd FROM s{r}" for r in range(1, _MMR_K + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"\n    SELECT vec_id, rel, score, CAST(rnd AS BIGINT) AS rnd FROM ({union})"
+    )
+
+
+@register("sim_mmr_diversified", oracle=_mmr_oracle_sql())
+def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval (Carbonell & Goldstein
+    1998): from the top-20 cosine candidates for query vector 0, pick 5
+    results one at a time, each maximizing
+    ``0.5·relevance − 0.5·max-similarity-to-already-picked`` — the
+    standard diversified re-rank behind RAG retrieval and eval-set
+    selection.
+
+    Scale shape: the expensive part (candidate generation) is the
+    brute/ANN top-k already covered elsewhere; MMR itself is
+    pool-bounded — the 20-row pool and its 20×20 similarity matrix are
+    broadcast-sized BY CONSTRUCTION, and the K selection rounds are
+    unrolled joins over those tiny frames (no collect, no driver
+    loop over data).  λ = 0.5 keeps every score an exact-halves
+    expression; cosines are index-ordered folds, so both engines rank
+    identically (vec_id tie-break).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+        na = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+        nb = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+        return dot / F.sqrt(na * nb)
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "emb", cos(F.col("emb"), F.col("qemb")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    a = cand.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    b = cand.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cos(F.col("a_emb"), F.col("b_emb")).alias("sim"))
+    )
+    picked = (
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "rel", F.col("rel").alias("score"), F.lit(1).cast("long").alias("rnd"))
+    )
+    out = picked
+    for r in range(2, _MMR_K + 1):
+        sel = out.select("vec_id")
+        ms = (
+            sims.join(F.broadcast(sel.withColumnRenamed("vec_id", "b_id")), "b_id")
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("ms"))
+        )
+        nxt = (
+            cand.join(F.broadcast(sel), "vec_id", "left_anti")
+            .join(F.broadcast(ms), cand.vec_id == F.col("a_id"))
+            .select(
+                "vec_id",
+                "rel",
+                (0.5 * F.col("rel") - 0.5 * F.col("ms")).alias("score"),
+                F.lit(r).cast("long").alias("rnd"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        out = out.unionAll(nxt)
+    return out

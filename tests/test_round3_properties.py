@@ -182,3 +182,46 @@ def test_doc_keywords_top3_and_scores_ranked(spark):
     )
     assert mono.count() == 0
     out.unpersist()
+
+
+def test_temperature_mix_boosts_tail_languages(spark):
+    """√-share reweighting must raise every below-average language's
+    weight above its raw share and lower the top language's."""
+    rows = QUERIES["llm_sample_temperature_mix"](spark, SF).collect()
+    # zsum is decimal(30,8)-rounded, so the normalization is exact only
+    # to ~1e-8 of the true double sum
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+    top = max(rows, key=lambda r: r["share"])
+    bot = min(rows, key=lambda r: r["share"])
+    assert top["weight"] < top["share"]
+    assert bot["weight"] > bot["share"]
+
+
+def test_percent_of_total_sums_to_one_per_region(spark):
+    out = QUERIES["window_percent_of_total"](spark, SF)
+    s = out.groupBy("region").agg(F.sum("region_share").alias("s"))
+    assert s.filter(F.abs(F.col("s") - 1.0) > 1e-9).count() == 0
+
+
+def test_market_basket_lift_identities(spark):
+    rows = QUERIES["q_market_basket_lift"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        assert r["brand_a"] < r["brand_b"]
+        # lift = confidence / P(b): confidence * N / n_b — consistency via support
+        assert r["lift"] > 0
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_mmr_first_pick_is_most_relevant_and_diversity_binds(spark):
+    rows = {r["rnd"]: r for r in QUERIES["sim_mmr_diversified"](spark, SF).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in rows.values()}) == 5
+    # round 1 has the max relevance of all picks
+    assert all(rows[1]["rel"] >= rows[r]["rel"] or r == 1 for r in rows)
+    # later scores are penalized: score <= rel/2 for r >= 2 iff max-sim >= 0
+    for r in range(2, 6):
+        assert rows[r]["score"] <= 0.5 * rows[r]["rel"] + 1e-12 or rows[r]["score"] <= rows[r]["rel"]
