@@ -642,3 +642,40 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(nxt)
     return out
+
+
+@register(
+    "ingest_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey < 300
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600
+    """,
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    different column sets (an old-schema batch and a new-schema batch)
+    are unified by ``mergeSchema`` into one frame with NULLs where a
+    batch lacks a column — the lake-ingest pattern for tables whose
+    schema widened over time.
+
+    ``mergeSchema`` costs one footer read per file (not a data scan);
+    at 100 TB you pin the merged schema in a metastore instead, but
+    the read path under test is identical.
+    """
+    out = _roundtrip_dir(sf_dir, "evolve")
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey", "o_orderstatus"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "b1"))
+    o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 600)).select(
+        "o_orderkey", "o_totalprice"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "b2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
