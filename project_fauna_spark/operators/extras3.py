@@ -28,7 +28,7 @@ import math
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import SQL_TS_FMT_US, TS_FMT_US
@@ -678,4 +678,146 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(out)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+_HEX = "0123456789abcdef"
+_MH_J = 8  # minhash functions; 4 bands x 2 rows
+
+
+def _h32(col: Column, salt: str) -> Column:
+    """Portable 32-bit salted hash: first 8 hex digits of md5, folded
+    via digit positions — identical on both engines, no hex→int cast
+    (the ``layout._h16`` pattern widened to 32 bits so the min of ~60
+    draws stays collision-sparse)."""
+    h = F.md5(F.concat(F.lit(salt), col))
+    val: Column = F.lit(0).cast("long")  # long from the start: 16^8 > int32 (ANSI throws)
+    for pos in range(8):
+        d = F.instr(F.lit(_HEX), F.substring(h, pos + 1, 1)) - 1
+        val = val * 16 + d
+    return val
+
+
+def _sql_h32(expr: str, salt: str) -> str:
+    h = f"md5('{salt}' || {expr})"
+    terms = [
+        f"(strpos('{_HEX}', substring({h}, {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+        for p in range(8)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _minhash_md5_oracle() -> str:
+    mins = ", ".join(
+        f"MIN({_sql_h32('bg', f'mh{j}:')}) AS m{j}" for j in range(_MH_J)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id,"
+        f" CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR) AS bh FROM sig"
+        for b in range(_MH_J // 2)
+    )
+    return f"""
+    WITH bg AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           unnest(range(1, len(ws))) AS t(i)
+    ),
+    sig AS (SELECT doc_id, {mins} FROM bg GROUP BY doc_id),
+    bands AS ({bands}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(DISTINCT a.band_id) AS BIGINT) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+      FROM pairs p
+      JOIN bg a ON a.doc_id = p.doc_a
+      JOIN bg b ON b.doc_id = p.doc_b AND b.bg = a.bg
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_bands,
+           CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.ni, 0)) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """
+
+
+@register("dedup_minhash_md5", oracle=_minhash_md5_oracle())
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates on a PORTABLE hash — the
+    oracle-checkable twin of ``dedup_minhash_lsh`` (which uses
+    xxhash64 and is rows-only by construction).  8 salted 32-bit
+    md5-digit hashes → per-doc min signature → 4 bands of 2 rows →
+    candidates share a band; every candidate pair is then verified
+    with its exact bigram Jaccard.
+
+    Same scale shape as the production twin: signatures are 8 longs
+    per doc, the band join ships (doc_id, band_id, band_hash) rows
+    only, and the exact verify is candidate-bounded (the two-phase
+    sketch-then-verify recipe).  From ``functions.shingles`` the
+    bigram builder's lambda touches only its element.
+    """
+    from project_fauna_spark.functions.shingles import word_bigrams
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id", F.explode(word_bigrams(F.col("text"))).alias("bg")
+    ).distinct()
+    sig = bg.groupBy("doc_id").agg(
+        *[F.min(_h32(F.col("bg"), f"mh{j}:")).alias(f"m{j}") for j in range(_MH_J)]
+    )
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("bh"),
+        )
+        for b in range(_MH_J // 2)
+    ]
+    import functools as _ft
+
+    bands = _ft.reduce(lambda x, y: x.unionAll(y), band_frames)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "bh"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "bh"
+    )
+    pairs = (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_id").alias("n_bands"))
+    )
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    bga = bg.select(F.col("doc_id").alias("doc_a"), F.col("bg"))
+    bgb = bg.select(F.col("doc_id").alias("doc_b"), F.col("bg"))
+    inter = (
+        pairs.join(bga, "doc_a")
+        .join(bgb, ["doc_b", "bg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            (
+                F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0)))
+            ).alias("jaccard"),
+        )
     )

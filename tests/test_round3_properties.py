@@ -225,3 +225,20 @@ def test_mmr_first_pick_is_most_relevant_and_diversity_binds(spark):
     # later scores are penalized: score <= rel/2 for r >= 2 iff max-sim >= 0
     for r in range(2, 6):
         assert rows[r]["score"] <= 0.5 * rows[r]["rel"] + 1e-12 or rows[r]["score"] <= rows[r]["rel"]
+
+
+def test_minhash_md5_candidates_have_high_jaccard_signal(spark):
+    """Candidate pairs are symmetric-free (a<b), band counts bounded by
+    the band count, and sharing all 4 bands implies a higher mean
+    Jaccard than sharing just one (the LSH S-curve)."""
+    out = QUERIES["dedup_minhash_md5"](spark, SF).cache()
+    assert out.filter((F.col("n_bands") < 1) | (F.col("n_bands") > 4)).count() == 0
+    assert out.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert out.filter((F.col("jaccard") < 0) | (F.col("jaccard") > 1)).count() == 0
+    means = {
+        r["n_bands"]: r["mj"]
+        for r in out.groupBy("n_bands").agg(F.avg("jaccard").alias("mj")).collect()
+    }
+    if 1 in means and 4 in means:
+        assert means[4] >= means[1]
+    out.unpersist()
