@@ -59,6 +59,12 @@ HEADLINE = [
     "ts_ewma_bounded",
     "window_moving_corr",
     "llm_vocab_topk",
+    # round 3 additions (baselines recorded in BASELINE.md same day)
+    "dedup_exact_substring",
+    "dedup_minhash_md5",
+    "llm_ccnet_buckets",
+    "q_market_basket_lift",
+    "dedup_semantic_ivf",
 ]
 
 

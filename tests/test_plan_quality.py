@@ -184,3 +184,88 @@ def test_dpp_query_prunes_fact_partitions(spark):
     subquery in the fact scan's partition filters."""
     plan = plan_of(spark, "join_dynamic_partition_pruning")
     assert "dynamicpruning" in plan or "DynamicPruning" in plan
+
+
+def test_exact_substring_no_cartesian_no_python(spark):
+    plan = plan_of(spark, "dedup_exact_substring")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "PushedFilters" in plan or "Scan parquet" in plan
+
+
+def _window_arg_groups(plan: str):
+    """For each `(n) Window` node, the count of top-level `[...]` groups
+    on its Arguments line: partitioned windows have 3 (exprs,
+    partition, order), global windows only 2 (exprs, order)."""
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) Window", line.strip()):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                arg = lines[j].strip()
+                if arg.startswith("Arguments:"):
+                    depth = 0
+                    groups = 0
+                    for ch in arg:
+                        if ch == "[":
+                            if depth == 0:
+                                groups += 1
+                            depth += 1
+                        elif ch == "]":
+                            depth -= 1
+                    out.append(groups)
+                    break
+    return out
+
+
+def test_window_arg_group_parser_detects_global_window(spark):
+    """Negative control: a deliberately global ntile must show 2 arg
+    groups, a partitioned one 3 — otherwise the ccnet pin is vacuous."""
+    from pyspark.sql import Window as W, functions as F
+
+    df = spark.range(10).withColumn("r", F.ntile(3).over(W.orderBy("id")))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert _window_arg_groups(buf.getvalue()) == [2]
+    df2 = spark.range(10).withColumn(
+        "r", F.ntile(3).over(W.partitionBy((F.col("id") % 2)).orderBy("id"))
+    )
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        df2.explain("formatted")
+    assert _window_arg_groups(buf2.getvalue()) == [3]
+
+
+def test_ccnet_buckets_has_no_global_window(spark):
+    """Every Window in the distributed-ntile plan must carry partition
+    expressions — no single-task global window stage."""
+    groups = _window_arg_groups(plan_of(spark, "llm_ccnet_buckets"))
+    assert groups, "expected at least one Window node"
+    assert all(g == 3 for g in groups), f"global window present: {groups}"
+
+
+def test_market_basket_broadcasts_counts_and_takes_ordered(spark):
+    plan = plan_of(spark, "q_market_basket_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_md5_band_join_is_hash_join(spark):
+    plan = plan_of(spark, "dedup_minhash_md5")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temporal_scd2_join_is_keyed_not_cartesian(spark):
+    plan = plan_of(spark, "join_temporal_scd2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_ivf_codebook_broadcasts(spark):
+    plan = plan_of(spark, "dedup_semantic_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
