@@ -821,3 +821,222 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _bpe_encode_round(prev: str, r: int) -> str:
+    """One BPE merge round retaining the word key: count pairs over
+    {prev}(word, seq, n), adopt the top rule, rewrite seq → e{r}."""
+    return f"""
+    pc{r} AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest([syms[i] || ' ' || syms[i+1] for i in range(1, len(syms))]) AS pair, n
+        FROM (SELECT string_split(trim(seq), ' ') AS syms, n FROM {prev})
+        WHERE len(syms) >= 2
+      ) GROUP BY pair
+    ),
+    rule{r} AS (SELECT pair FROM pc{r} ORDER BY cnt DESC, pair LIMIT 1),
+    e{r} AS (
+      SELECT word,
+             replace({prev}.seq, ' ' || t.pair || ' ',
+                     ' ' || replace(t.pair, ' ', '') || ' ') AS seq, n
+      FROM {prev}, rule{r} t
+    )"""
+
+
+@register(
+    "llm_bpe_encode_corpus",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    e0 AS (
+      SELECT word,
+             ' ' || array_to_string([word[i:i] for i in range(1, length(word)+1)], ' ')
+               || ' ' AS seq, n
+      FROM wc
+    ),
+    {_bpe_encode_round('e0', 1)},
+    {_bpe_encode_round('e1', 2)},
+    {_bpe_encode_round('e2', 3)},
+    tok AS (SELECT word, len(string_split(trim(seq), ' ')) AS n_sym FROM e3),
+    dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT dw.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(t.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(dw.word)) AS DOUBLE) / SUM(t.n_sym) AS chars_per_token
+    FROM dw JOIN tok t USING (word)
+    WHERE dw.word <> ''
+    GROUP BY dw.doc_id
+    """,
+)
+def llm_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-APPLY half of the BPE lifecycle: train 3 merge
+    rules on the word-type table (same loop as
+    ``llm_bpe_train_merges``), encode every word type with them, and
+    report per-document word/BPE-token/char counts and the
+    chars-per-token compression ratio — the number a tokenizer change
+    is actually judged by.
+
+    Scale: training and encoding touch only word TYPES (vocabulary-
+    bounded, with corpus weights); the corpus-sized stream is one
+    explode joined against the tiny word→token-count map (AQE
+    broadcasts it).  Counts are integers; the ratio is one per-row
+    double division at the edge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    cur = wc.select(
+        "word",
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seq"),
+        "n",
+    )
+    for _ in range(3):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        k = F.greatest(F.size(syms) - 1, F.lit(0))
+        zipped = F.slice(
+            F.arrays_zip(syms.alias("a"), F.slice(syms, 2, k).alias("b")), 1, k
+        )
+        pairs = F.transform(zipped, lambda z: F.concat(z.a, F.lit(" "), z.b))
+        rule = (
+            cur.select(F.explode(pairs).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .select("pair")
+        )
+        cur = cur.crossJoin(F.broadcast(rule)).select(
+            "word",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("seq"),
+            "n",
+        )
+    tok = cur.select(
+        "word", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_sym")
+    )
+    dw = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        dw.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
+        )
+    )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, MAX(ts) AS max_ts, COUNT(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(ts) AS gmax FROM events)
+    SELECT m.event_type, m.n,
+           strftime(m.max_ts, '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+           CAST((epoch_us(g.gmax) - epoch_us(m.max_ts)) // 60000000 AS BIGINT)
+             AS lag_minutes,
+           (epoch_us(g.gmax) - epoch_us(m.max_ts)) // 60000000 > 60 AS is_stale
+    FROM m CROSS JOIN g
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per event type, the newest timestamp, its
+    lag behind the globally newest event in whole minutes, and a
+    staleness flag (> 60 min) — the first dashboard any ingestion
+    pipeline gets.
+
+    Two map-combined aggregates (per-type and global max), one 1-row
+    broadcast; the lag is integer µs arithmetic (floor-div), no float
+    edge at all.  Timestamps format at the compared edge per the as-of
+    convention.
+    """
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n")
+    )
+    g = e.agg(F.max("ts").alias("gmax"))
+    lag = F.floor(
+        (F.unix_micros(F.col("gmax")) - F.unix_micros(F.col("max_ts"))) / 60000000
+    ).cast("long")
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        F.date_format("max_ts", TS_FMT_US).alias("max_ts"),
+        lag.alias("lag_minutes"),
+        (lag > 60).alias("is_stale"),
+    )
+
+
+@register(
+    "q_semi_additive_snapshot",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT month,
+           COUNT(*) AS n_accounts,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             AS total_balance
+    FROM ranked WHERE rn = 1
+    GROUP BY month
+    """,
+)
+def q_semi_additive_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure: treating each customer's latest order
+    amount in a month as their end-of-month balance, the monthly book
+    total sums the LAST value per account — never the sum over time —
+    the defining aggregation rule for balances/inventory in any
+    warehouse.
+
+    One window keyed on (custkey, month) — WindowGroupLimit prunes to
+    the top row per key before the shuffle completes — then a
+    keyspace-sized decimal-exact aggregate per month.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    w = W.partitionBy("o_custkey", month).orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.date_format(month, "yyyy-MM-dd").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_accounts"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )

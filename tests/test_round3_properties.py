@@ -242,3 +242,47 @@ def test_minhash_md5_candidates_have_high_jaccard_signal(spark):
     if 1 in means and 4 in means:
         assert means[4] >= means[1]
     out.unpersist()
+
+
+def test_bpe_encode_compresses_and_conserves(spark):
+    """BPE tokens never exceed char count, never undercut word count,
+    and the compression ratio is consistent with the counts."""
+    out = QUERIES["llm_bpe_encode_corpus"](spark, SF).cache()
+    assert out.filter(F.col("n_bpe_tokens") > F.col("n_chars")).count() == 0
+    assert out.filter(F.col("n_bpe_tokens") < F.col("n_words")).count() == 0
+    bad = out.filter(
+        F.abs(
+            F.col("chars_per_token")
+            - F.col("n_chars").cast("double") / F.col("n_bpe_tokens")
+        )
+        > 0
+    )
+    assert bad.count() == 0
+    # 3 merges must actually compress somewhere (tokens < chars overall)
+    tot = out.agg(F.sum("n_bpe_tokens").alias("t"), F.sum("n_chars").alias("c")).collect()[0]
+    assert tot["t"] < tot["c"]
+    out.unpersist()
+
+
+def test_freshness_lag_zero_for_globally_newest_type(spark):
+    rows = QUERIES["dq_freshness_lag"](spark, SF).collect()
+    assert min(r["lag_minutes"] for r in rows) == 0
+    assert all(r["lag_minutes"] >= 0 for r in rows)
+    for r in rows:
+        assert r["is_stale"] == (r["lag_minutes"] > 60)
+
+
+def test_semi_additive_balance_counts_each_customer_once_per_month(spark):
+    out = QUERIES["q_semi_additive_snapshot"](spark, SF)
+    o = load_table(spark, SF, "orders")
+    per_month_customers = (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"),
+            "o_custkey",
+        )
+        .distinct()
+        .groupBy("month")
+        .count()
+    )
+    j = out.join(per_month_customers, "month")
+    assert j.filter(F.col("n_accounts") != F.col("count")).count() == 0
