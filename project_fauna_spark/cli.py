@@ -28,6 +28,35 @@ def _transport_factory(args) -> TransportFactory:
     return lambda: UrllibTransport(base, connect_timeout=ct, read_timeout=rt)
 
 
+def run_query(args) -> int:
+    """Analyst mode: run one registry query and print rows as JSON
+    lines (bounded by --limit; the full result never collects)."""
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from project_fauna_spark.plans import QUERIES
+
+    if args.list_queries:
+        for name in QUERIES:
+            print(name)
+        return 0
+    if args.query not in QUERIES:
+        print(f"Unknown query: {args.query}", file=sys.stderr)
+        return 2
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("fauna-spark-query")
+        .getOrCreate()
+    )
+    df = QUERIES[args.query](spark, args.sf_dir)
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    print(f"# {args.query}: showed {len(rows)} row(s) (limit {args.limit})", file=sys.stderr)
+    return 0
+
+
 def run(args) -> int:
     from pyspark.sql import SparkSession
 
@@ -61,6 +90,8 @@ def main(argv: list[str] | None = None) -> None:
 
     args = parse_args(argv)
     try:
+        if args.list_queries or args.query:
+            sys.exit(run_query(args))
         sys.exit(run(args))
     except ValidationHttpError as e:
         print(f"Validation error: {e.detail}", file=sys.stderr)

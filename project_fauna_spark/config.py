@@ -30,6 +30,26 @@ def build_parser() -> argparse.ArgumentParser:
         default=os.getenv("FAUNA_FIXTURE_DIR"),
         help="serve the API shape from this directory (offline mode)",
     )
+    # analyst surface (additive; default behavior stays the reference ETL)
+    p.add_argument(
+        "--query",
+        default=None,
+        metavar="NAME",
+        help="run a named registry query instead of the ETL and print JSON rows",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default=os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="table directory for --query / --list-queries",
+    )
+    p.add_argument(
+        "--limit", type=int, default=20, help="max rows to print for --query"
+    )
+    p.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="print every registered query name and exit",
+    )
     return p
 
 

@@ -102,3 +102,61 @@ def test_env_var_defaults(monkeypatch):
     # flag beats env
     args = parse_args(["--batch-size", "5"])
     assert args.batch_size == 5
+
+
+def test_cli_list_queries_is_instant_and_complete():
+    """--list-queries never builds a SparkSession and covers the whole
+    registry."""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, "-m", "project_fauna_spark", "--list-queries"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+    )
+    assert proc.returncode == 0
+    names = proc.stdout.split()
+    from project_fauna_spark.plans import QUERIES
+
+    assert set(names) == set(QUERIES)
+
+
+def test_cli_query_mode_prints_json_rows():
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "project_fauna_spark",
+            "--query",
+            "join_broadcast_chain",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--limit",
+            "5",
+            "--master",
+            "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(line) for line in proc.stdout.splitlines() if line.startswith("{")]
+    assert 0 < len(rows) <= 5
+    assert all("revenue" in r or len(r) > 0 for r in rows)
+
+
+def test_cli_unknown_query_exits_2():
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, "-m", "project_fauna_spark", "--query", "no_such_query"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+    )
+    assert proc.returncode == 2
+    assert "Unknown query" in proc.stderr
