@@ -1040,3 +1040,96 @@ def q_semi_additive_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_balance"),
         )
     )
+
+
+def _ann_recall_oracle() -> str:
+    from project_fauna_spark.plans.registry import ORACLE
+
+    ivf_sql = ORACLE["sim_ann_ivf"]
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 50 = 0),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY
+  list_reduce(list_transform(range(1, len(q.qemb)+1), k -> q.qemb[k] * e.emb[k]), (s,v) -> s+v)
+  / sqrt( list_reduce(list_transform(q.qemb, x -> x*x), (s,v) -> s+v)
+        * list_reduce(list_transform(e.emb, x -> x*x), (s,v) -> s+v) ) DESC,
+                 e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rk <= 5
+    ),
+    ivf AS (SELECT query_id, neighbor_id FROM ({ivf_sql}) WHERE rank <= 5),
+    hits AS (
+      SELECT b.query_id, COUNT(i.neighbor_id) AS n_hits
+      FROM brute b
+      LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / 5 AS recall_at_5
+    FROM hits
+    """
+
+
+@register("sim_ann_recall_audit", oracle=_ann_recall_oracle())
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the IVF index
+    (``sim_ann_ivf``, nprobe=2) against exact brute-force top-5 for
+    the same 20-query probe set — the measurement loop every ANN
+    deployment runs before trading exactness for speed.
+
+    The exact side broadcasts the query set over one linear corpus
+    scan (WindowGroupLimit top-5); the approximate side is the
+    registered IVF plan reused as a subplan.  The hit join and the
+    per-query recall are integer counts and one per-row division —
+    recall is exact, so the driver hash-matches it.
+    """
+    from project_fauna_spark.functions.vectors import cosine_sim
+    from project_fauna_spark.operators.llm_extras import sim_ann_ivf
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    brute = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim(F.col("emb"), F.col("qemb")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        sim_ann_ivf(spark, sf_dir)
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    )
+    hits = (
+        brute.join(
+            ivf,
+            (brute.query_id == ivf.query_id)
+            & (F.col("neighbor_id") == F.col("ivf_neighbor")),
+            "left",
+        )
+        .groupBy(brute.query_id)
+        .agg(F.count("ivf_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / 5).alias("recall_at_5"),
+    )

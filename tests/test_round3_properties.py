@@ -286,3 +286,16 @@ def test_semi_additive_balance_counts_each_customer_once_per_month(spark):
     )
     j = out.join(per_month_customers, "month")
     assert j.filter(F.col("n_accounts") != F.col("count")).count() == 0
+
+
+def test_ann_recall_audit_bounds_and_query_set(spark):
+    rows = QUERIES["sim_ann_recall_audit"](spark, SF).collect()
+    n_queries = (
+        load_table(spark, SF, "embeddings").filter(F.col("vec_id") % 50 == 0).count()
+    )
+    assert len(rows) == n_queries
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_at_5"] == r["n_hits"] / 5
+    # the IVF index must beat random guessing somewhere
+    assert any(r["n_hits"] > 0 for r in rows)
