@@ -170,7 +170,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subq_scalar",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           o_totalprice - (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           o_totalprice - (SELECT CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                                   / COUNT(*) FROM orders) AS delta_vs_mean
     FROM orders
     """,
@@ -241,11 +241,11 @@ def subq_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT COUNT(*) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
-             SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
-             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
-             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
-             SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+             SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,4))) AS sx,
+             SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(19,4))) AS sy,
+             SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,4)) * CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(19,4))) AS sxy,
+             SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,4)) * CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,4))) AS sxx,
+             SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(19,4)) * CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(19,4))) AS syy
       FROM lineitem
     )
     , d AS (
@@ -327,7 +327,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH big AS (
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+      HAVING SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4))) > 150
     )
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -438,8 +438,8 @@ def scalar_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT l_returnflag,
-             CAST(l_quantity AS DECIMAL(19,4)) AS x,
-             CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))
+             CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,4)) AS x,
+             CAST(CAST(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,4)) * CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(19,4)) AS VARCHAR)
                   AS DECIMAL(19,4)) AS x2
       FROM lineitem
     ),
@@ -548,7 +548,7 @@ def sql_interface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH y AS (
       SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS year,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                AS revenue,
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1

@@ -369,14 +369,14 @@ _MV_CUTOFF = "1997-01-01"
     oracle=f"""
     WITH base AS (
       SELECT o_orderpriority, COUNT(*) AS cnt,
-             SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS tot,
+             SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(30,8))) AS tot,
              MAX(o_totalprice) AS mx
       FROM orders WHERE o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
       GROUP BY o_orderpriority
     ),
     delta AS (
       SELECT o_orderpriority, COUNT(*) AS cnt,
-             SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS tot,
+             SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(30,8))) AS tot,
              MAX(o_totalprice) AS mx
       FROM orders WHERE o_orderdate >= TIMESTAMP '{_MV_CUTOFF}'
       GROUP BY o_orderpriority

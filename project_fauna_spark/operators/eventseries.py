@@ -431,7 +431,7 @@ def _distributed_ntile(df: DataFrame, order_cols, n_buckets: int, out_col: str) 
       SELECT user_id,
              MAX(ts) AS last_ts,
              COUNT(*) AS frequency,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                AS monetary
       FROM p GROUP BY user_id
     ),
@@ -627,14 +627,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT strftime(date_trunc('week', f.cohort_day), '%Y-%m-%d') AS cohort_week,
              CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS INT)
                AS week_offset,
-             CAST(CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM(CAST(CAST(e.value AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                AS revenue
       FROM events e JOIN first_seen f ON e.user_id = f.user_id
       WHERE e.event_type = 'purchase'
       GROUP BY 1, 2
     )
     SELECT cohort_week, week_offset, revenue,
-           CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,8))) OVER (
+           CAST(CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(30,8))) OVER (
              PARTITION BY cohort_week ORDER BY week_offset) AS VARCHAR) AS DOUBLE)
              AS cumulative_ltv
     FROM wk

@@ -323,7 +323,7 @@ def text_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ld JOIN lt USING (lang) CROSS JOIN t
     ),
     z AS (
-      SELECT CAST(CAST(SUM(CAST(w_raw AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS zsum
+      SELECT CAST(CAST(SUM(CAST(CAST(w_raw AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS zsum
       FROM s
     )
     SELECT s.lang, s.n_docs, s.n_tokens, s.share,
@@ -381,7 +381,7 @@ def llm_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8)))
+             SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR) AS DECIMAL(30,8)))
                AS dec_rev
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1007,7 +1007,7 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT month,
            COUNT(*) AS n_accounts,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
              AS total_balance
     FROM ranked WHERE rn = 1
     GROUP BY month
@@ -1132,4 +1132,162 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.col("n_hits").cast("double") / 5).alias("recall_at_5"),
+    )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    k AS (SELECT MIN(group_size) AS k_anonymity FROM g)
+    SELECT g.c_nationkey, g.c_mktsegment, g.group_size, k.k_anonymity,
+           g.group_size < 5 AS violates_k5
+    FROM g CROSS JOIN k
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nationkey, mktsegment)
+    quasi-identifier: every equivalence class's size, the dataset's
+    k (the smallest class), and a flag for classes under k=5 — the
+    re-identification screen run before releasing training data
+    derived from user records.
+
+    One map-combined aggregate over the quasi-identifier plus a 1-row
+    broadcast of the global minimum; integers only.  At 100 TB the
+    class table is |QI-combinations|-sized, not data-sized.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    k = g.agg(F.min("group_size").alias("k_anonymity"))
+    return g.crossJoin(F.broadcast(k)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "k_anonymity",
+        (F.col("group_size") < 5).alias("violates_k5"),
+    )
+
+
+@register(
+    "dq_key_skew_profile",
+    oracle="""
+    WITH kc AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS max_n,
+             CAST(SUM(n) AS BIGINT) AS total,
+             COUNT(*) AS n_keys
+      FROM kc
+    )
+    SELECT kc.l_suppkey, kc.n,
+           CAST(kc.n AS DOUBLE) / s.total AS share,
+           CAST(kc.n AS DOUBLE) * s.n_keys / s.total AS skew_ratio,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, l_suppkey) AS rk FROM kc) kc
+    CROSS JOIN stats s
+    WHERE rk <= 10
+    """,
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic: the 10 hottest join-key values of
+    lineitem.l_suppkey with their traffic share and skew ratio
+    (key count ÷ mean key count) — the numbers that decide whether a
+    join needs salting (``join_salted_equi``) or AQE skew splitting.
+
+    One map-combined key-count aggregate (keyspace-sized), a 1-row
+    stats broadcast, and a TakeOrdered top-10; shares are per-row
+    divisions of exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    stats = kc.agg(
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    ranked = kc.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "l_suppkey")).cast("long")
+    ).filter(F.col("rk") <= 10)
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        "l_suppkey",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias(
+            "skew_ratio"
+        ),
+        "rk",
+    )
+
+
+@register(
+    "ml_standardize_audit",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    m AS (
+      SELECT dim,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS s2
+      FROM x GROUP BY dim
+    ),
+    stats AS (
+      SELECT dim, n, s1 / n AS mean,
+             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+      FROM m
+    )
+    SELECT s.dim, s.n, s.mean, s.std,
+           CAST(SUM(CASE WHEN abs((x.v - s.mean) / s.std) > 3.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_3sigma
+    FROM x JOIN stats s USING (dim)
+    GROUP BY s.dim, s.n, s.mean, s.std
+    """,
+)
+def ml_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-standardization audit: per embedding dimension, the
+    mean, population std (from decimal-exact first/second moments —
+    ``sqrt`` is IEEE-exact, ``stddev``'s streaming accumulation is
+    not), and the count of |z| > 3 outliers after standardization —
+    the scaler-fit + sanity-check step of a feature pipeline.
+
+    One posexplode (corpus × 64 rows), a map-combined per-dim moment
+    aggregate (64 groups), a broadcast join back for the z-pass.
+    Bounded state everywhere; no windows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda c: c.cast("double")))
+    ).select("vec_id", F.col("pos").alias("dim"), F.col("col").alias("v"))
+    m = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(30,12)")).cast("double").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).cast("double").alias("s2"),
+    )
+    stats = m.select(
+        "dim",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("std"),
+    )
+    return (
+        x.join(F.broadcast(stats), "dim")
+        .groupBy("dim", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(F.abs((F.col("v") - F.col("mean")) / F.col("std")) > 3.0, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers_3sigma")
+        )
     )

@@ -196,7 +196,7 @@ def llm_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              time_bucket(INTERVAL 1 HOUR, ts) AS hour,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+             CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
       FROM events WHERE user_id < 30
       GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
     ),

@@ -155,7 +155,7 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_pipe_syntax",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR)::DOUBLE AS sum_qty,
+           CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR)::DOUBLE AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_discount > 0.05
@@ -216,7 +216,7 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_dynamic_partition_pruning",
     oracle="""
     SELECT e.event_type, COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           CAST(CAST(SUM(CAST(CAST(e.value AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
              AS sum_value
     FROM events e
     JOIN (SELECT DISTINCT event_type FROM events

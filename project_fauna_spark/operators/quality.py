@@ -133,7 +133,7 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
            {sql_dsum('c_acctbal')} AS total_bal,
-           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) FILTER (WHERE c_acctbal < 0) AS VARCHAR) AS DOUBLE) AS neg_bal
+           CAST(CAST(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(30,8))) FILTER (WHERE c_acctbal < 0) AS VARCHAR) AS DOUBLE) AS neg_bal
     FROM customer
     GROUP BY c_mktsegment
     """,

@@ -546,8 +546,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT l_returnflag, l_linestatus,
              COUNT(l_quantity) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS s1,
-             SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS s2
+             SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4)) * CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4))) AS s2
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     )
     SELECT l_returnflag, l_linestatus, n,
@@ -642,7 +642,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) AS running_value,
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,8))) OVER w AS DOUBLE) AS running_value,
            COUNT(*) OVER w AS running_n
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -670,7 +670,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
            COUNT(*) OVER w AS n_in_band,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sum_in_band
+           CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sum_in_band
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
                  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
@@ -995,7 +995,7 @@ def scalar_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
            CAST(l_orderkey % 97 AS BIGINT) AS key_mod97,
            sqrt(l_quantity) AS qty_sqrt,
-           CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS price_tithe
+           CAST(round(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) * CAST(CAST(0.1 AS VARCHAR) AS DECIMAL(2,1)), 2) AS DOUBLE) AS price_tithe
     FROM lineitem
     """,
 )

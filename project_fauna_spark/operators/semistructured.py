@@ -335,9 +335,9 @@ def scalar_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(v) AS n_v_nonnull,
            COUNT(DISTINCT u) AS n_u_distinct,
-           CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(30,8))) AS DOUBLE) AS sum_v,
            (SUM(CASE WHEN v IS NULL AND u IS NULL THEN 1 ELSE 0 END)) AS n_both_null,
-           CAST(SUM(CAST(COALESCE(v, 0.0) AS DECIMAL(30,8))) AS DOUBLE) AS sum_v_coalesced,
+           CAST(SUM(CAST(CAST(COALESCE(v, 0.0) AS VARCHAR) AS DECIMAL(30,8))) AS DOUBLE) AS sum_v_coalesced,
            BOOL_AND(v IS NULL OR v >= 0) AS all_nonneg_or_null,
            BOOL_OR(v IS NULL) AS any_null
     FROM src
@@ -369,7 +369,7 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            COUNT(*) OVER w AS n_last_hour,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sum_last_hour
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sum_last_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)

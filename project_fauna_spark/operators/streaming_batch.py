@@ -36,7 +36,7 @@ SQL_TS_OUT = "%Y-%m-%d %H:%M:%S"
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{SQL_TS_OUT}') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -71,7 +71,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(s, '{SQL_TS_OUT}') AS window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
     FROM starts GROUP BY s
     """,
 )
@@ -114,7 +114,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(min(ts), '{SQL_TS_OUT}.%f') AS session_start,
            strftime(max(ts), '{SQL_TS_OUT}.%f') AS session_last,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
     FROM numbered GROUP BY user_id, session_id
     """,
 )

@@ -123,8 +123,8 @@ def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sc AS (
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xl,
-             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yl
+             CAST(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(12,2)) * 100 AS BIGINT) AS xl,
+             CAST(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2)) * 100 AS BIGINT) AS yl
       FROM lineitem
     ),
     m AS (

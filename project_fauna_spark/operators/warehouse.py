@@ -392,7 +392,7 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_equi",
     oracle="""
     SELECT o.o_orderkey, o.o_orderpriority, COUNT(*) AS n_lines,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS order_total
+           CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS order_total
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey < 2000
     GROUP BY o.o_orderkey, o.o_orderpriority
@@ -714,7 +714,7 @@ def q_waiting_orders_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dominant_part_suppliers",
     oracle="""
     WITH per AS (
-      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(30,8))) AS q
+      SELECT l_partkey, l_suppkey, SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(30,8))) AS q
       FROM lineitem GROUP BY 1, 2
     ),
     tot AS (SELECT l_partkey, SUM(q) AS qt FROM per GROUP BY 1)
@@ -808,7 +808,7 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH val AS (
       SELECT l_partkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS v
+             SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(30,8))) AS v
       FROM lineitem GROUP BY 1
     )
     SELECT l_partkey,

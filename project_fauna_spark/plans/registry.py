@@ -59,20 +59,26 @@ def davg(col: Column, precision: int = 30, scale: int = 8) -> Column:
 
 # The DuckDB-side spellings of the same conventions, for oracle strings.
 #
-# The decimal→double cast routes through VARCHAR: DuckDB's direct
-# DECIMAL→DOUBLE converts the int128 payload to double and THEN divides
-# by 10^scale — two roundings, which disagrees with the single correct
-# rounding Spark (BigDecimal.doubleValue) performs once the scaled
-# payload exceeds 2^53.  String→double parsing is correctly rounded in
-# both engines, restoring bit equality at any magnitude.
+# BOTH decimal casts route through VARCHAR:
+# - decimal→double: DuckDB's direct DECIMAL→DOUBLE converts the int128
+#   payload to double and THEN divides by 10^scale — two roundings,
+#   which disagrees with the single correct rounding Spark
+#   (BigDecimal.doubleValue) performs once the scaled payload exceeds
+#   2^53.  String→double parsing is correctly rounded in both engines.
+# - double→decimal (the INPUT cast): DuckDB's direct cast resolves
+#   exact scale ties HALF_EVEN, Spark (BigDecimal.valueOf =
+#   Double.toString + setScale) HALF_UP.  Float-origin doubles are
+#   dyadic rationals, so exact ties DO occur (e.g. 0.1983642578125 at
+#   scale 12).  DuckDB's VARCHAR→DECIMAL parse rounds HALF_UP on the
+#   same shortest-repr digits Spark uses, restoring bit equality.
 def sql_dsum(expr: str, precision: int = 30, scale: int = 8) -> str:
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
     )
 
 
 def sql_davg(expr: str, precision: int = 30, scale: int = 8) -> str:
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT({expr})"
     )

@@ -299,3 +299,36 @@ def test_ann_recall_audit_bounds_and_query_set(spark):
         assert r["recall_at_5"] == r["n_hits"] / 5
     # the IVF index must beat random guessing somewhere
     assert any(r["n_hits"] > 0 for r in rows)
+
+
+def test_k_anonymity_k_is_the_min_group_size(spark):
+    rows = QUERIES["dq_k_anonymity"](spark, SF).collect()
+    k = rows[0]["k_anonymity"]
+    assert all(r["k_anonymity"] == k for r in rows)
+    assert min(r["group_size"] for r in rows) == k
+    for r in rows:
+        assert r["violates_k5"] == (r["group_size"] < 5)
+    # classes partition the table
+    total = sum(r["group_size"] for r in rows)
+    assert total == load_table(spark, SF, "customer").count()
+
+
+def test_key_skew_profile_is_top10_descending(spark):
+    rows = QUERIES["dq_key_skew_profile"](spark, SF).collect()
+    assert sorted(r["rk"] for r in rows) == list(range(1, 11))
+    by_rank = sorted(rows, key=lambda r: r["rk"])
+    ns = [r["n"] for r in by_rank]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert 0 < r["share"] < 1
+        assert r["skew_ratio"] >= 1.0  # top keys are at least average
+
+
+def test_standardize_audit_moments_are_sane(spark):
+    rows = QUERIES["ml_standardize_audit"](spark, SF).collect()
+    n_dims = len(rows)
+    assert n_dims == 64
+    for r in rows:
+        assert r["std"] > 0
+        assert 0 <= r["n_outliers_3sigma"] <= r["n"]
+        assert abs(r["mean"]) < 1.0
