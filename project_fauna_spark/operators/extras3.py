@@ -1291,3 +1291,221 @@ def ml_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers_3sigma")
         )
     )
+
+
+_XM_COS = """
+  list_reduce(list_transform(range(1, len({a})+1), k -> {a}[k] * {b}[k]), (s,v) -> s+v)
+  / sqrt( list_reduce(list_transform({a}, x -> x*x), (s,v) -> s+v)
+        * list_reduce(list_transform({b}, x -> x*x), (s,v) -> s+v) )
+"""
+
+
+@register(
+    "dedup_cross_modal_agreement",
+    oracle=f"""
+    WITH bg AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           unnest(range(1, len(ws))) AS t(i)
+    ),
+    dfreq AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg),
+    rare AS (SELECT bg.doc_id, bg.bg FROM bg JOIN dfreq USING (bg) WHERE dfreq.df <= 20),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+      FROM rare a JOIN rare b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    full_inter AS (
+      SELECT i.doc_a, i.doc_b, COUNT(*) AS ni
+      FROM inter i
+      JOIN bg a ON a.doc_id = i.doc_a
+      JOIN bg b ON b.doc_id = i.doc_b AND b.bg = a.bg
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT f.doc_a, f.doc_b,
+             CAST(f.ni AS DOUBLE) / (sa.n + sb.n - f.ni) AS jaccard
+      FROM full_inter f
+      JOIN sizes sa ON sa.doc_id = f.doc_a
+      JOIN sizes sb ON sb.doc_id = f.doc_b
+      ORDER BY jaccard DESC, f.doc_a, f.doc_b LIMIT 100
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT t.doc_a, t.doc_b, t.jaccard,
+           {_XM_COS.format(a='ea.emb', b='eb.emb')} AS cos,
+           {_XM_COS.format(a='ea.emb', b='eb.emb')} >= 0.2 AS semantic_agree
+    FROM top t
+    JOIN e ea ON ea.vec_id = t.doc_a
+    JOIN e eb ON eb.vec_id = t.doc_b
+    """,
+)
+def dedup_cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup consistency audit: the top-100 text-overlap
+    pairs (exact bigram Jaccard, candidates blocked on rare shared
+    bigrams df ≤ 20) annotated with their embedding cosine and a
+    semantic-agreement flag — the QA step that catches a text-dedup
+    and an embedding-dedup pass disagreeing about what "duplicate"
+    means before one of them deletes training data.
+
+    Candidate generation is the inverted-index + stop-shingle-prune
+    shape (never all-pairs); the top-100 is a TakeOrdered; the
+    embedding join touches 200 broadcast-sized rows.  Jaccard is an
+    integer ratio, the cosine an index-ordered fold — both exact.
+    """
+    from project_fauna_spark.functions.shingles import word_bigrams
+    from project_fauna_spark.functions.vectors import cosine_sim
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id", F.explode(word_bigrams(F.col("text"))).alias("bg")
+    ).distinct()
+    dfreq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
+    rare = bg.join(dfreq.filter(F.col("df") <= 20), "bg").select("doc_id", "bg")
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "bg")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "bg")
+    cand = (
+        ra.join(rb, "bg")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    bga = bg.select(F.col("doc_id").alias("doc_a"), "bg")
+    bgb = bg.select(F.col("doc_id").alias("doc_b"), "bg")
+    full_inter = (
+        cand.join(bga, "doc_a")
+        .join(bgb, ["doc_b", "bg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    top = (
+        full_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(100)
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("emb").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("emb").alias("emb_b"))
+    cos = cosine_sim(F.col("emb_a"), F.col("emb_b"))
+    return (
+        top.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cos.alias("cos"),
+            (cos >= 0.2).alias("semantic_agree"),
+        )
+    )
+
+
+@register(
+    "ml_knn_classify_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS true_label, emb AS qemb
+          FROM e WHERE vec_id < 50),
+    nn AS (
+      SELECT query_id, true_label, label AS nn_label FROM (
+        SELECT q.query_id, q.true_label, e.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_XM_COS.format(a='q.qemb', b='e.emb')} DESC, e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, nn_label, COUNT(*) AS v
+      FROM nn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, nn_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY v DESC, nn_label) AS pr
+        FROM votes
+      ) WHERE pr = 1
+    )
+    SELECT true_label AS label,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def ml_knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier evaluation: 5-nearest-neighbor majority vote
+    (cosine, deterministic smallest-label tie-break) predicts each of
+    the first 50 vectors' labels; per-label accuracy — the standard
+    embedding-quality probe (a good embedding space classifies its own
+    labels).
+
+    The expensive part is the brute top-5 (broadcast query set ×
+    linear scan, WindowGroupLimit); voting and accuracy are
+    keyspace-sized integer aggregates.
+    """
+    from project_fauna_spark.functions.vectors import cosine_sim
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("qemb"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    nn = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("nn_label"),
+            "vec_id",
+            cosine_sim(F.col("qemb"), F.col("emb")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    votes = nn.groupBy("query_id", "true_label", "nn_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.col("v").desc(), "nn_label")
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "true_label", F.col("nn_label").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        correct.cast("long").alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )

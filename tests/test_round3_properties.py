@@ -332,3 +332,23 @@ def test_standardize_audit_moments_are_sane(spark):
         assert r["std"] > 0
         assert 0 <= r["n_outliers_3sigma"] <= r["n"]
         assert abs(r["mean"]) < 1.0
+
+
+def test_cross_modal_agreement_pairs_are_top_jaccard(spark):
+    out = QUERIES["dedup_cross_modal_agreement"](spark, SF).cache()
+    rows = out.collect()
+    assert 0 < len(rows) <= 100
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1
+        assert -1.0 <= r["cos"] <= 1.0
+        assert r["semantic_agree"] == (r["cos"] >= 0.2)
+        assert r["doc_a"] < r["doc_b"]
+    out.unpersist()
+
+
+def test_knn_classify_eval_covers_all_queries_once(spark):
+    rows = QUERIES["ml_knn_classify_eval"](spark, SF).collect()
+    assert sum(r["n"] for r in rows) == 50
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n"]
+        assert r["accuracy"] == r["n_correct"] / r["n"]
