@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import SQL_TS_FMT_US, TS_FMT_US
+from project_fauna_spark.operators.curation import _GRAM_K, _token_grams
 from project_fauna_spark.plans.registry import register
 
 
@@ -1508,4 +1509,111 @@ def ml_knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         correct.cast("long").alias("n_correct"),
         (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@register(
+    "llm_e2e_dataset_build",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+             n_chars
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM base WHERE n_chars >= 100 AND n_words >= 20
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    eval_grams AS (
+      SELECT DISTINCT array_to_string(ws[i:i+{_GRAM_K - 1}], ' ') AS gram
+      FROM (SELECT string_split(text, ' ') AS ws FROM eval_docs),
+           unnest(range(1, len(ws) - {_GRAM_K - 2})) AS t(i)
+    ),
+    contaminated AS (
+      SELECT DISTINCT d.doc_id
+      FROM (
+        SELECT doc_id, array_to_string(ws[i:i+{_GRAM_K - 1}], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM deduped),
+             unnest(range(1, len(ws) - {_GRAM_K - 2})) AS t(i)
+      ) d JOIN eval_grams g ON d.gram = g.gram
+      WHERE d.doc_id % 97 <> 0
+    ),
+    clean AS (
+      SELECT * FROM deduped
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    t AS (SELECT CAST(SUM(n_words) AS BIGINT) AS total_tokens FROM clean)
+    SELECT c.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(c.n_words) AS BIGINT) AS n_tokens,
+           CAST(SUM(c.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(c.n_words) AS DOUBLE) / t.total_tokens AS token_share
+    FROM clean c CROSS JOIN t
+    GROUP BY c.lang, t.total_tokens
+    """,
+)
+def llm_e2e_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed curation pipeline, ONE lazy plan: quality gate
+    (length + token-count thresholds) → exact dedup (first doc per
+    verbatim text) → eval-set decontamination (drop any training doc
+    sharing an 8-token gram with the held-out eval slice, and the eval
+    slice itself) → per-language dataset manifest with token shares —
+    the minimal end-to-end shape of a real pretraining-data build.
+
+    Every stage is the scale shape proven by its standalone operator:
+    the gate is a pushed filter, dedup is a WindowGroupLimit on the
+    text key, decontamination broadcasts the eval-gram set into an
+    anti-join (eval sets are small by construction), and the manifest
+    is a keyspace-sized aggregate.  Catalyst pipelines all four into
+    one job; nothing materializes between stages.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.withColumn(
+        "n_words",
+        F.size(F.filter(F.split("text", " "), lambda w: w != F.lit(""))),
+    )
+    gated = base.filter((F.col("n_chars") >= 100) & (F.col("n_words") >= 20))
+    w = W.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    eval_grams = (
+        eval_docs.select(F.explode(_token_grams(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    train = deduped.filter(F.col("doc_id") % 97 != 0)
+    train_grams = train.select(
+        "doc_id", F.explode(_token_grams(F.col("text"))).alias("gram")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "gram").select("doc_id").distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    t = clean.agg(F.sum("n_words").alias("total_tokens"))
+    return (
+        clean.crossJoin(F.broadcast(t))
+        .groupBy("lang", "total_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "total_chars",
+            (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+                "token_share"
+            ),
+        )
     )

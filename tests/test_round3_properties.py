@@ -352,3 +352,11 @@ def test_knn_classify_eval_covers_all_queries_once(spark):
     for r in rows:
         assert 0 <= r["n_correct"] <= r["n"]
         assert r["accuracy"] == r["n_correct"] / r["n"]
+
+
+def test_e2e_dataset_build_token_shares_partition(spark):
+    rows = QUERIES["llm_e2e_dataset_build"](spark, SF).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["n_docs"] > 0 and r["n_tokens"] >= 20 * r["n_docs"]
+        assert r["total_chars"] >= 100 * r["n_docs"]
