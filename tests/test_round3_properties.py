@@ -360,3 +360,44 @@ def test_e2e_dataset_build_token_shares_partition(spark):
     for r in rows:
         assert r["n_docs"] > 0 and r["n_tokens"] >= 20 * r["n_docs"]
         assert r["total_chars"] >= 100 * r["n_docs"]
+
+
+def test_token_grams_differential_python(spark):
+    """_token_grams == the obvious Python sliding window, including
+    edge cases around short texts and repeated tokens."""
+    from project_fauna_spark.operators.curation import _token_grams
+
+    texts = [
+        "a b c d e f g h i j",
+        "a a a a a a a a",
+        "one two three four five six seven",  # 7 tokens -> no 8-gram
+        "x " * 40,
+        "solo",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: list(r["g"])
+        for r in df.select("i", _token_grams(F.col("t")).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.strip().split(" ") if t.strip() else [""]
+        want = [" ".join(ws[j : j + 8]) for j in range(len(ws) - 7)]
+        assert got[i] == want, (i, got[i][:3], want[:3])
+
+
+def test_h32_matches_python_md5_fold(spark):
+    """extras3._h32 == int(md5_hex[:8], 16) computed in Python."""
+    import hashlib
+
+    from project_fauna_spark.operators.extras3 import _h32
+
+    words = ["alpha", "beta gamma", "", "ümlaut", "x" * 100]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["h"]
+        for r in df.select("w", _h32(F.col("w"), "mh3:").alias("h")).collect()
+    }
+    for w in words:
+        want = int(hashlib.md5(("mh3:" + w).encode("utf-8")).hexdigest()[:8], 16)
+        assert got[w] == want, w
