@@ -1617,3 +1617,171 @@ def llm_e2e_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _distributed_cumsum(df, order_cols, val_col: str, out_col: str):
+    """Exact GLOBAL running sum with no single-partition window: the
+    cumsum sibling of ``eventseries._distributed_ntile`` /
+    ``curation._grouped_ntile``.  Range-repartition on the total order,
+    local cumsum per range partition, then add each partition's
+    broadcast prefix total.  Values here are integers (±1 deltas), so
+    associativity is exact."""
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("_lcs", F.sum(val_col).over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
+    prior = totals.select(F.col("_pid").alias("_pid2"), F.col("_t").alias("_t2"))
+    offsets = (
+        totals.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_t2"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lcs") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lcs", "_off")
+    )
+
+
+@register(
+    "event_concurrency_gauge",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS session_no,
+             ts
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, session_no, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM s GROUP BY user_id, session_no
+    ),
+    deltas AS (
+      SELECT s_start AS ts, 1 AS delta, user_id, session_no FROM sess
+      UNION ALL
+      SELECT s_end AS ts, -1 AS delta, user_id, session_no FROM sess
+    ),
+    gauge AS (
+      SELECT ts,
+             CAST(SUM(delta) OVER (ORDER BY ts, delta, user_id, session_no
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS concurrency
+      FROM deltas
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           MAX(concurrency) AS max_concurrency
+    FROM gauge GROUP BY 1
+    """,
+)
+def event_concurrency_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent-sessions gauge per day: sessionize each user's
+    events (30-min gap), sweep-line the session intervals (+1 at
+    start, −1 at end, ends sort before starts at equal timestamps),
+    and report each day's maximum concurrency — the capacity-planning
+    metric that requires a GLOBAL running sum.
+
+    The global cumsum is the textbook single-partition window trap;
+    here it is an exact distributed cumsum (:func:`_distributed_cumsum`
+    — range repartition + per-partition prefix + broadcast offsets),
+    the same two-level pattern as the distributed NTILE. Session
+    building shuffles once on user_id; deltas are ±1 integers so the
+    distributed reassembly is exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_session",
+        F.when((gap > 1800000000) | F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = marked.withColumn("session_no", F.sum("new_session").over(w2))
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    starts = sess.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_no"
+    )
+    ends = sess.select(
+        F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_no"
+    )
+    deltas = starts.unionAll(ends)
+    gauge = _distributed_cumsum(
+        deltas, [F.col("ts"), F.col("delta"), F.col("user_id"), F.col("session_no")],
+        "delta", "concurrency",
+    )
+    return gauge.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.max("concurrency").alias("max_concurrency"))
+
+
+@register(
+    "dq_completeness_by_day",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           (d.n IS NULL) AS is_gap
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def dq_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal completeness audit: a generated calendar spine from
+    the first to the last event day, left-joined against daily counts
+    — every zero-event day surfaces as an explicit gap row instead of
+    silently missing from a GROUP BY, the difference between "no data"
+    and "no row".
+
+    The spine is `sequence()` over a 1-row bounds aggregate (exploded
+    calendar-sized, broadcast); daily counts are one map-combined
+    aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )

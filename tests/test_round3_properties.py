@@ -401,3 +401,36 @@ def test_h32_matches_python_md5_fold(spark):
     for w in words:
         want = int(hashlib.md5(("mh3:" + w).encode("utf-8")).hexdigest()[:8], 16)
         assert got[w] == want, w
+
+
+def test_concurrency_gauge_covers_days_and_is_positive(spark):
+    rows = QUERIES["event_concurrency_gauge"](spark, SF).collect()
+    assert all(r["max_concurrency"] >= 1 for r in rows)
+    # peak concurrency can never exceed the number of distinct users
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert max(r["max_concurrency"] for r in rows) <= n_users
+
+
+def test_distributed_cumsum_matches_window_spelling(spark):
+    from project_fauna_spark.operators.extras3 import _distributed_cumsum
+
+    d = load_table(spark, SF, "events").select(
+        "event_id", (F.when(F.col("event_id") % 2 == 0, 1).otherwise(-1)).alias("v")
+    )
+    got = _distributed_cumsum(d, [F.col("event_id")], "v", "cs")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = d.withColumn("cs", F.sum("v").over(w).cast("long"))
+    assert got.select("event_id", "cs").exceptAll(want.select("event_id", "cs")).count() == 0
+    assert want.select("event_id", "cs").exceptAll(got.select("event_id", "cs")).count() == 0
+
+
+def test_completeness_spine_is_contiguous(spark):
+    rows = sorted(
+        QUERIES["dq_completeness_by_day"](spark, SF).collect(), key=lambda r: r["day"]
+    )
+    import datetime
+
+    days = [datetime.date.fromisoformat(r["day"]) for r in rows]
+    assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+    for r in rows:
+        assert r["is_gap"] == (r["n_events"] == 0)
