@@ -929,7 +929,8 @@ def llm_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("seq"),
             "n",
-        )
+        ).persist()  # each round reads cur TWICE (rule + rewrite): without
+        # this the vocab subtree replicates 2^rounds times in the plan
     tok = cur.select(
         "word", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_sym")
     )

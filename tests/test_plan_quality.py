@@ -202,7 +202,9 @@ def _window_arg_groups(plan: str):
     lines = plan.splitlines()
     out = []
     for i, line in enumerate(lines):
-        if re.match(r"\(\d+\) Window", line.strip()):
+        # exact node name: "(n) WindowGroupLimit" has a different
+        # Arguments format and must not be parsed as a Window node
+        if re.fullmatch(r"\(\d+\) Window", line.strip()):
             for j in range(i + 1, min(i + 4, len(lines))):
                 arg = lines[j].strip()
                 if arg.startswith("Arguments:"):
