@@ -1786,3 +1786,98 @@ def dq_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "event_position_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.conv_id, e.event_type AS channel, e.ts, e.event_id
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts <= p.conv_ts
+       AND e.ts >= p.conv_ts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT conv_id, channel,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n
+      FROM touches
+    ),
+    credited AS (
+      SELECT channel,
+             CASE
+               WHEN n = 1 THEN 1.0::DOUBLE
+               WHEN n = 2 THEN 0.5::DOUBLE
+               WHEN rn = 1 OR rn = n THEN 0.4::DOUBLE
+               ELSE 0.2::DOUBLE / (n - 2)
+             END AS credit
+      FROM ranked
+    )
+    SELECT channel,
+           COUNT(*) AS n_touches,
+           CAST(CAST(SUM(CAST(CAST(credit AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+             AS total_credit
+    FROM credited GROUP BY channel
+    """,
+)
+def event_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) marketing attribution: every purchase
+    distributes 1.0 credit over its view/click touches in the prior 7
+    days — 40% first touch, 40% last, 20% spread over the middle
+    (100%/50-50 for 1- and 2-touch journeys) — the standard model a
+    step up from ``event_last_touch_attribution``.
+
+    The touch join is equi on user_id with the 7-day band as a
+    residual; per-conversion ranking windows are bounded by touches
+    per user-week.  Per-touch credits are exact per-row doubles
+    (rational weights, one division); the per-channel total is
+    decimal-accumulated.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        "ts",
+        "event_id",
+    )
+    touches = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("ts") <= F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("interval 7 days")),
+    )
+    w_rn = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    w_n = W.partitionBy("conv_id")
+    ranked = touches.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.col("credit").cast("decimal(30,12)"))
+            .cast("double")
+            .alias("total_credit"),
+        )
+    )

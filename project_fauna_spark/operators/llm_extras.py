@@ -380,7 +380,10 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         top5 = pair_top5(cur, rnd)
         outs.append(top5)
         if rnd < 3:
-            cur = apply_merge(cur, top5)
+            # cur is read twice per round (pair counts + rewrite):
+            # persist the vocab-sized frame so the plan stays linear in
+            # rounds instead of replicating the base subtree 2^rounds x
+            cur = apply_merge(cur, top5).persist()
     return outs[0].unionAll(outs[1]).unionAll(outs[2])
 
 

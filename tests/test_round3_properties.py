@@ -434,3 +434,29 @@ def test_completeness_spine_is_contiguous(spark):
     assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
     for r in rows:
         assert r["is_gap"] == (r["n_events"] == 0)
+
+
+def test_position_attribution_conserves_credit(spark):
+    """Total credit across channels equals the number of purchases
+    that have at least one prior-7-day touch."""
+    rows = QUERIES["event_position_attribution"](spark, SF).collect()
+    total_credit = sum(r["total_credit"] for r in rows)
+    e = load_table(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts")
+    )
+    with_touch = (
+        p.join(
+            t,
+            (F.col("t_user") == F.col("p_user"))
+            & (F.col("t_ts") <= F.col("conv_ts"))
+            & (F.col("t_ts") >= F.col("conv_ts") - F.expr("interval 7 days")),
+            "left_semi",
+        ).count()
+    )
+    assert abs(total_credit - with_touch) < 1e-6
