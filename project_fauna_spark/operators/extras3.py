@@ -1881,3 +1881,103 @@ def event_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_credit"),
         )
     )
+
+
+@register(
+    "ts_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT day, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(s1 AS DOUBLE) / c AS mean7,
+           sqrt(CAST(s2 AS DOUBLE) / c - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c))
+             AS std7,
+           CASE WHEN s2 * c > s1 * s1
+                THEN abs(n - CAST(s1 AS DOUBLE) / c)
+                     / sqrt(CAST(s2 AS DOUBLE) / c - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c))
+                END AS z,
+           COALESCE(CASE WHEN s2 * c > s1 * s1
+                THEN abs(n - CAST(s1 AS DOUBLE) / c)
+                     / sqrt(CAST(s2 AS DOUBLE) / c - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c))
+                END > 2.0, FALSE) AS is_anomaly
+    FROM m WHERE c >= 3
+    """,
+)
+def ts_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: each day's event count compared
+    to its trailing-7-day mean/σ (current day excluded), flagged when
+    |z| > 2 — the ops-dashboard spike/drop detector.
+
+    The windowed moments run over the DAILY table (calendar-sized —
+    a bounded global window, the ``llm_vocab_topk`` class, not the RFM
+    trap) and use integer sums (counts and squared counts are exact),
+    so mean, σ and z are single per-row double expressions; days with
+    zero trailing variance emit NULL z / FALSE.  Warm-up days (< 3
+    trailing observations) are excluded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    m = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    ).filter(F.col("c") >= 3)
+    mean7 = F.col("s1").cast("double") / F.col("c")
+    var7 = F.col("s2").cast("double") / F.col("c") - mean7 * mean7
+    z = F.when(
+        F.col("s2") * F.col("c") > F.col("s1") * F.col("s1"),
+        F.abs(F.col("n") - mean7) / F.sqrt(var7),
+    )
+    return m.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        mean7.alias("mean7"),
+        F.sqrt(var7).alias("std7"),
+        z.alias("z"),
+        F.coalesce(z > 2.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` (Spark 4 + DuckDB both support it): group by
+    every non-aggregate select item — the modern-SQL ergonomic that
+    removes the copy-paste between SELECT and GROUP BY.  Plan is the
+    ordinary map-combined hash aggregate.
+    """
+    from project_fauna_spark.io import table_path
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+        FROM orders_gba
+        GROUP BY ALL
+        """
+    )
