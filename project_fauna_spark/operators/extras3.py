@@ -1981,3 +1981,130 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "q_abc_pareto_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+                 AS DECIMAL(30,8))) AS dec_rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT SUM(dec_rev) AS total FROM rev),
+    c AS (
+      SELECT l_partkey,
+             CAST(CAST(dec_rev AS VARCHAR) AS DOUBLE) AS revenue,
+             CAST(CAST(SUM(dec_rev) OVER (ORDER BY dec_rev DESC, l_partkey
+                                          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(t.total AS VARCHAR) AS DOUBLE) AS cum_share
+      FROM rev CROSS JOIN t
+    )
+    SELECT l_partkey, revenue, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def q_abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto inventory classification: parts ranked by revenue,
+    class A while the running revenue share is ≤ 80%, B to 95%, C
+    beyond — the classic concentration cut for stocking policy.
+
+    The running total over the revenue-ranked catalog is the global-
+    cumsum shape; here it reuses :func:`_distributed_cumsum` over the
+    EXACTLY-associative decimal revenue (range repartition +
+    per-partition prefix + broadcast offsets — no single-task sort
+    even for a billion-part catalog).  Shares and class cuts are
+    per-row double arithmetic on identical decimals.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,8)"
+            )
+        ).alias("dec_rev")
+    )
+    t = rev.agg(F.sum("dec_rev").alias("total"))
+    # two-level distributed cumsum spelled inline in decimal arithmetic
+    # (_distributed_cumsum casts its output to long — integers only)
+    ranged = rev.repartitionByRange(
+        F.col("dec_rev").desc(), F.col("l_partkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(F.col("dec_rev").desc(), F.col("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("_lcs", F.sum("dec_rev").over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum("dec_rev").alias("_t"))
+    prior = totals.select(F.col("_pid").alias("_pid2"), F.col("_t").alias("_t2"))
+    offsets = (
+        totals.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.sum("_t2").alias("_off"))
+    )
+    cum_share = (
+        (F.col("_lcs") + F.coalesce(F.col("_off"), F.lit(0).cast("decimal(30,8)")))
+        .cast("double")
+        / F.col("total").cast("double")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "l_partkey",
+            F.col("dec_rev").cast("double").alias("revenue"),
+            cum_share.alias("cum_share"),
+            F.when(cum_share <= 0.8, "A")
+            .when(cum_share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@register(
+    "dq_uniqueness_audit",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           COUNT(*) = COUNT(DISTINCT o_orderkey) AS is_unique
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey),
+           COUNT(*) = COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(DISTINCT o_orderdate),
+           COUNT(*) = COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus),
+           COUNT(*) = COUNT(DISTINCT o_orderstatus) FROM orders
+    """,
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit: per column, row count vs distinct count and
+    a uniqueness verdict — the first check before declaring a primary
+    key or a dedup key on an unfamiliar table.
+
+    One pass per column of map-combined distinct aggregation (Spark
+    expands multi-distinct into a single Expand + two-phase aggregate);
+    output is 4 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rows = []
+    for col in ["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"]:
+        rows.append(
+            o.agg(
+                F.lit(col).alias("column_name"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(col).alias("n_distinct"),
+                (F.count(F.lit(1)) == F.countDistinct(col)).alias("is_unique"),
+            )
+        )
+    import functools as _ft
+
+    return _ft.reduce(lambda a, b: a.unionAll(b), rows)

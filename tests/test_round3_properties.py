@@ -460,3 +460,33 @@ def test_position_attribution_conserves_credit(spark):
         ).count()
     )
     assert abs(total_credit - with_touch) < 1e-6
+
+
+def test_abc_classes_partition_and_order(spark):
+    out = QUERIES["q_abc_pareto_classification"](spark, SF).cache()
+    # cum_share is within (0, 1]; classes follow the thresholds
+    assert out.filter((F.col("cum_share") <= 0) | (F.col("cum_share") > 1.0000001)).count() == 0
+    bad = out.filter(
+        ((F.col("cum_share") <= 0.8) & (F.col("abc_class") != "A"))
+        | ((F.col("cum_share") > 0.8) & (F.col("cum_share") <= 0.95) & (F.col("abc_class") != "B"))
+        | ((F.col("cum_share") > 0.95) & (F.col("abc_class") != "C"))
+    )
+    assert bad.count() == 0
+    # every part with lineitem revenue appears exactly once
+    li = load_table(spark, SF, "lineitem").select("l_partkey").distinct()
+    assert out.count() == li.count()
+    # A-parts each have revenue >= any C-part (Pareto ordering)
+    mins = out.groupBy("abc_class").agg(F.min("revenue").alias("mn"), F.max("revenue").alias("mx")).collect()
+    by = {r["abc_class"]: r for r in mins}
+    if "A" in by and "C" in by:
+        assert by["A"]["mn"] >= by["C"]["mx"]
+    out.unpersist()
+
+
+def test_uniqueness_audit_verdicts(spark):
+    rows = {r["column_name"]: r for r in QUERIES["dq_uniqueness_audit"](spark, SF).collect()}
+    assert rows["o_orderkey"]["is_unique"] is True
+    assert rows["o_orderstatus"]["is_unique"] is False
+    for r in rows.values():
+        assert r["n_distinct"] <= r["n"]
+        assert r["is_unique"] == (r["n"] == r["n_distinct"])
