@@ -2108,3 +2108,154 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools as _ft
 
     return _ft.reduce(lambda a, b: a.unionAll(b), rows)
+
+
+@register(
+    "ts_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT a.day, a.n AS actual, b.n AS forecast,
+             abs(a.n - b.n) AS abs_err
+      FROM daily a JOIN daily b ON b.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT COUNT(*) AS n_days,
+           CAST(CAST(SUM(CAST(CAST(abs_err AS VARCHAR) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS mae,
+           CAST(CAST(SUM(CAST(CAST(CAST(abs_err AS DOUBLE) / actual AS VARCHAR)
+                              AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS mape,
+           CAST(MAX(abs_err) AS BIGINT) AS worst_abs_err
+    FROM j
+    """,
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event
+    volume as the same weekday one week earlier and report MAE, MAPE
+    and the worst absolute error — the baseline every forecasting
+    model must beat, and the cheapest way to quantify weekly
+    seasonality strength.
+
+    Daily counts are one map-combined aggregate; the lag join is a
+    self-join of the calendar-sized table on a shifted key. Errors
+    are integers; MAE/MAPE are decimal-accumulated means of per-row
+    exact values.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = daily.select(F.col("day"), F.col("n").alias("actual"))
+    b = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"), F.col("n").alias("forecast")
+    )
+    j = a.join(b, "day").withColumn(
+        "abs_err", F.abs(F.col("actual") - F.col("forecast"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum(F.col("abs_err").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae"),
+        (
+            F.sum(
+                (F.col("abs_err").cast("double") / F.col("actual")).cast(
+                    "decimal(30,12)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mape"),
+        F.max("abs_err").cast("long").alias("worst_abs_err"),
+    )
+
+
+@register(
+    "event_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(a.day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN f.first_day < a.day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY a.day
+    """,
+)
+def event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active users: each day's actives split by
+    whether it is the user's first-ever day — the growth-accounting
+    top line (acquisition vs retention).
+
+    First-seen is one map-combined per-user aggregate joined back on
+    user_id (the shuffle key both sides); the daily split is integer
+    counting.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    active = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("first_day") < F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(CAST(SUM(CAST(gap_us AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE)
+             / COUNT(gap_us) AS mean_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: min/max/mean microsecond gap
+    between consecutive events — the activity-cadence profile behind
+    session-gap tuning and bot detection.
+
+    One user_id-keyed window for the lag, one map-combined aggregate;
+    gaps are integer microseconds (no float until the mean's edge,
+    which is an exact decimal sum over integers).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = e.withColumn("gap_us", gap).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        (
+            F.sum(F.col("gap_us").cast("decimal(30,0)")).cast("double")
+            / F.count("gap_us")
+        ).alias("mean_gap_us"),
+    )

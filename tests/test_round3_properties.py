@@ -490,3 +490,41 @@ def test_uniqueness_audit_verdicts(spark):
     for r in rows.values():
         assert r["n_distinct"] <= r["n"]
         assert r["is_unique"] == (r["n"] == r["n_distinct"])
+
+
+def test_new_vs_returning_partitions_dau(spark):
+    """new + returning per day == distinct active users per day, and
+    the sum of new users over all days == total distinct users."""
+    out = QUERIES["event_new_vs_returning"](spark, SF).cache()
+    e = load_table(spark, SF, "events")
+    dau = (
+        e.select(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .count()
+    )
+    j = out.join(dau, "day")
+    assert j.filter(
+        F.col("new_users") + F.col("returning_users") != F.col("count")
+    ).count() == 0
+    total_new = out.agg(F.sum("new_users")).collect()[0][0]
+    assert total_new == e.select("user_id").distinct().count()
+    out.unpersist()
+
+
+def test_interarrival_gaps_are_positive_and_bounded(spark):
+    out = QUERIES["event_interarrival_stats"](spark, SF)
+    assert out.filter(F.col("min_gap_us") < 0).count() == 0
+    assert out.filter(
+        (F.col("mean_gap_us") < F.col("min_gap_us"))
+        | (F.col("mean_gap_us") > F.col("max_gap_us"))
+    ).count() == 0
+
+
+def test_seasonal_naive_backtest_is_single_row_with_sane_errors(spark):
+    rows = QUERIES["ts_seasonal_naive_backtest"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_days"] > 0
+    assert 0 <= r["mae"] <= r["worst_abs_err"]
+    assert r["mape"] >= 0
