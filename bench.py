@@ -77,11 +77,15 @@ def _sf_label(path: str) -> float:
 
 
 def run_query(spark, name: str) -> float:
+    from project_fauna_spark.cache import release_cached
+
     df = QUERIES[name](spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()  # warm-up
     start = time.perf_counter()
     QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - start
+    elapsed = time.perf_counter() - start
+    release_cached()  # don't let this query's pins skew the next one
+    return elapsed
 
 
 def main() -> None:

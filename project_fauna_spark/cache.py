@@ -1,0 +1,41 @@
+"""Tracked persist — bounded cache lifetime in long-lived sessions.
+
+Operators persist shared subtrees (dedup indexes, iterative-round
+frames, multi-consumer aggregates).  A returned DataFrame is lazy, so
+the operator itself can never unpersist after "the" action — it doesn't
+run one.  Left alone, every invocation in a long-lived session
+(bench.py, parity sweeps, the driver's 50-query grading loop) strands
+its cached frames in the JVM cache manager forever (ADVICE r3).
+
+``cached()`` keeps the persist but records the frame in a module-level
+registry; harness code calls :func:`release_cached` between queries to
+drop everything the previous query pinned.  Per-invocation footprint is
+unchanged (the cache lives exactly as long as the query needs it); the
+cross-invocation leak becomes a one-call cleanup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_TRACKED: list[DataFrame] = []
+
+
+def cached(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
+    """Persist ``df`` (engine-default level unless given) and track it."""
+    df.persist() if level is None else df.persist(level)
+    _TRACKED.append(df)
+    return df
+
+
+def release_cached(blocking: bool = False) -> int:
+    """Unpersist every tracked frame; returns how many were released."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _TRACKED.clear()
+    return n

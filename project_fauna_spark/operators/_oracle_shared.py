@@ -60,3 +60,13 @@ def _fmt_ts(col, fmt: str = TS_FMT):
     from pyspark.sql import functions as F
 
     return F.date_format(col, fmt)
+
+
+# DuckDB spelling of the repo's index-ordered cosine fold (kept here, in a
+# non-registering module, so importing it never perturbs registry order —
+# module import order IS the driver's grading window).
+SQL_COS = """
+  list_reduce(list_transform(range(1, len({a})+1), k -> {a}[k] * {b}[k]), (s,v) -> s+v)
+  / sqrt( list_reduce(list_transform({a}, x -> x*x), (s,v) -> s+v)
+        * list_reduce(list_transform({b}, x -> x*x), (s,v) -> s+v) )
+"""

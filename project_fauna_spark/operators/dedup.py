@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 
 from project_fauna_spark.functions.shingles import shingle_hashes, shingles
 from project_fauna_spark.functions.vectors import cosine_sim
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -146,7 +147,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1; the cache manager dedupes by logical plan across calls).
     from pyspark.storagelevel import StorageLevel
 
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = cached(ex, StorageLevel.MEMORY_AND_DISK)
     a, b = ex.alias("a"), ex.alias("b")
     # Size-ratio pruning: jaccard >= t forces t·|A| <= |B| <= |A|/t —
     # applied inside the join so pruned pairs never reach the shuffle.
@@ -228,7 +229,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for s in range(N_PERM)
             ]
         ).alias("sig"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = cached(sig, StorageLevel.MEMORY_AND_DISK)
     # Narrow band table: ids + band key only.
     bands = sig.select(
         "doc_id",
@@ -483,15 +485,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    edges = cached(edges, StorageLevel.MEMORY_AND_DISK)
     d = load_table(spark, sf_dir, "documents")
     # Iterate ONLY over nodes that appear in an edge — near-dup'd docs
     # are a tiny fraction of the corpus, so the per-round join state is
     # |paired docs|, not |corpus|; singletons rejoin at the end.
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("comp")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    labels = cached(
+        nodes.select("doc_id", F.col("doc_id").alias("comp")), StorageLevel.MEMORY_AND_DISK
     )
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
@@ -508,8 +510,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("comp").alias("prev_comp"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        updated = cached(updated, StorageLevel.MEMORY_AND_DISK)
         n_changed = updated.filter(F.col("comp") != F.col("prev_comp")).count()
         old = labels
         labels = updated.select("doc_id", "comp")
@@ -564,7 +566,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = hashed.select("doc_id", F.size("hsgl").alias("n"), F.explode("hsgl").alias("h"))
     from pyspark.storagelevel import StorageLevel
 
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = cached(ex, StorageLevel.MEMORY_AND_DISK)
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))

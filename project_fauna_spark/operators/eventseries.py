@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import SQL_TS_FMT_US, TS_FMT_US, _fmt_ts
 from project_fauna_spark.plans.registry import register
@@ -85,7 +86,7 @@ def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v and c feed two union branches each — persist the (one row per
     # user) stage outputs so the claimed one-pass-per-stage shape holds
     # even without runtime exchange reuse.
-    v, c = v.persist(), c.persist()
+    v, c = cached(v), cached(c)
     count_of = lambda df, name: df.agg(F.count("*").alias("n_users")).select(
         F.lit(name).alias("stage"), "n_users"
     )

@@ -30,6 +30,7 @@ import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import SQL_TS_FMT_US, TS_FMT_US
 from project_fauna_spark.operators.curation import _GRAM_K, _token_grams
@@ -607,8 +608,8 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "emb", cos(F.col("emb"), F.col("qemb")).alias("rel"))
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
-        .persist()
     )
+    cand = cached(cand)
     a = cand.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
     b = cand.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
     sims = (
@@ -929,7 +930,8 @@ def llm_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("seq"),
             "n",
-        ).persist()  # each round reads cur TWICE (rule + rewrite): without
+        )
+        cur = cached(cur)  # each round reads cur TWICE (rule + rewrite): without
         # this the vocab subtree replicates 2^rounds times in the plan
     tok = cur.select(
         "word", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_sym")
@@ -1654,7 +1656,7 @@ def _distributed_cumsum(df, order_cols, val_col: str, out_col: str):
     "event_concurrency_gauge",
     oracle="""
     WITH e AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -1664,7 +1666,8 @@ def _distributed_cumsum(df, order_cols, val_col: str, out_col: str):
     s AS (
       SELECT user_id,
              SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
                AS session_no,
              ts
       FROM e
@@ -1711,9 +1714,12 @@ def event_concurrency_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when((gap > 1800000000) | F.lag("ts").over(w).isNull(), 1).otherwise(0),
     )
+    # event_id tie-break: equal-ts rows at a session boundary must fold
+    # in ONE order in both engines, or session_no (and everything
+    # downstream) becomes nondeterministic (ADVICE r3).
     w2 = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     s = marked.withColumn("session_no", F.sum("new_session").over(w2))
@@ -1777,9 +1783,13 @@ def dq_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    # A left-outer join can only build-broadcast the RIGHT side — a
+    # broadcast hint on the preserved spine is ignored (ADVICE r3).
+    # `daily` is calendar-sized after aggregation, so it is the
+    # correct build side.
     return (
-        F.broadcast(spine)
-        .join(daily, "day", "left")
+        spine
+        .join(F.broadcast(daily), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
@@ -1969,7 +1979,6 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes the copy-paste between SELECT and GROUP BY.  Plan is the
     ordinary map-combined hash aggregate.
     """
-    from project_fauna_spark.io import table_path
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
     return spark.sql(

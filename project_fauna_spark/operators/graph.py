@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -84,7 +85,7 @@ _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
       LEFT JOIN outdeg od ON od.src = e.src
       GROUP BY n.node
     )
-    SELECT node, r AS rank_scaled FROM r3
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3
     """,
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +109,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
     )
-    edges = edges.persist()
+    edges = cached(edges)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
     nodes = (
         edges.select(F.col("src").alias("node"))

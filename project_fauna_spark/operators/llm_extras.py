@@ -28,8 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.functions.shingles import word_bigrams
 from project_fauna_spark.functions.vectors import cosine_sim
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
-from project_fauna_spark.operators.similarity import _SQL_COS
+from project_fauna_spark.operators._oracle_shared import SQL_COS as _SQL_COS
 from project_fauna_spark.plans.registry import register, sql_davg
 
 
@@ -383,7 +384,7 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cur is read twice per round (pair counts + rewrite):
             # persist the vocab-sized frame so the plan stays linear in
             # rounds instead of replicating the base subtree 2^rounds x
-            cur = apply_merge(cur, top5).persist()
+            cur = cached(apply_merge(cur, top5))
     return outs[0].unionAll(outs[1]).unionAll(outs[2])
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table, register_views
 from project_fauna_spark.plans.registry import register
 
@@ -99,7 +100,8 @@ def hll_segment_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.countDistinct("o_custkey").alias("exact"))
-    ).persist()  # feeds both the per-segment and union branches
+    )  # feeds both the per-segment and union branches
+    per_seg = cached(per_seg)
     seg = per_seg.select(
         "c_mktsegment",
         F.hll_sketch_estimate("sk").alias("estimate"),

@@ -207,7 +207,34 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     return width, abs(height), channels, float(pixels.mean()) / 255.0
 
 
-@register("mm_decode_features")  # Pandas-UDF stage → rows-only check
+@register(
+    "mm_decode_features",
+    # The BMP round-trip is fully deterministic from the payload bytes,
+    # so DuckDB can regenerate every decoded field exactly: height is
+    # the encoder's ceil(n/192) raster rule, and mean_intensity is
+    # (Σ pixel bytes)/(192·height)/255 — the padded zero bytes add
+    # nothing to the sum, partial sums of ints are exact in float64, and
+    # both engines perform the same two divisions in the same order
+    # (numpy: mean first, then /255).  Payloads are ASCII (asserted by
+    # mm_frame_sample's sha256 parity), so unicode(char) == byte value.
+    oracle="""
+    WITH b AS (
+      SELECT d.doc_id,
+             octet_length(encode(d.text)) AS n,
+             (SELECT COALESCE(CAST(SUM(unicode(substring(d.text, CAST(g.i AS INT), 1))) AS BIGINT), 0)
+              FROM (SELECT unnest(range(1, length(d.text)+1)) AS i) g) AS byte_sum
+      FROM documents d
+    )
+    SELECT doc_id,
+           64 AS width,
+           CAST(GREATEST(1, CAST(ceil(n / 192.0) AS BIGINT)) AS INT) AS height,
+           3 AS n_channels,
+           CAST(byte_sum AS DOUBLE)
+             / (192 * GREATEST(1, CAST(ceil(n / 192.0) AS BIGINT)))
+             / CAST(255 AS DOUBLE) AS mean_intensity
+    FROM b
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media encode → decode → feature extraction over binary columns.
 
@@ -260,7 +287,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            COUNT(DISTINCT sha256(text)) AS n_unique_payloads,
            COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dup_payloads,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MIN(octet_length(encode(text))) AS min_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents

@@ -162,7 +162,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT c_mktsegment,
-           SUM(n) AS n_orders,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
            1.0 - CAST(SUM(n * n) AS DOUBLE) / (SUM(n) * SUM(n)) AS gini
     FROM cnt GROUP BY c_mktsegment
     """,

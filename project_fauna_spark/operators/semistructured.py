@@ -336,7 +336,7 @@ def scalar_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(v) AS n_v_nonnull,
            COUNT(DISTINCT u) AS n_u_distinct,
            CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(30,8))) AS DOUBLE) AS sum_v,
-           (SUM(CASE WHEN v IS NULL AND u IS NULL THEN 1 ELSE 0 END)) AS n_both_null,
+           CAST(SUM(CASE WHEN v IS NULL AND u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both_null,
            CAST(SUM(CAST(CAST(COALESCE(v, 0.0) AS VARCHAR) AS DECIMAL(30,8))) AS DOUBLE) AS sum_v_coalesced,
            BOOL_AND(v IS NULL OR v >= 0) AS all_nonneg_or_null,
            BOOL_OR(v IS NULL) AS any_null

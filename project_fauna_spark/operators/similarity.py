@@ -34,12 +34,10 @@ from project_fauna_spark.functions.vectors import cosine_sim
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
-# DuckDB spelling of the same index-ordered double fold.
-_SQL_COS = """
-  list_reduce(list_transform(range(1, len({a})+1), k -> {a}[k] * {b}[k]), (s,v) -> s+v)
-  / sqrt( list_reduce(list_transform({a}, x -> x*x), (s,v) -> s+v)
-        * list_reduce(list_transform({b}, x -> x*x), (s,v) -> s+v) )
-"""
+# DuckDB spelling of the same index-ordered double fold (shared, non-
+# registering home so other modules can use it without import-order side
+# effects on the registry).
+from project_fauna_spark.operators._oracle_shared import SQL_COS as _SQL_COS  # noqa: E402
 
 _SQL_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 

@@ -360,57 +360,5 @@ def text_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bigram_cond_prob",
-    oracle="""
-    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
-    pairs AS (
-      SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS pr
-      FROM w
-    ),
-    big AS (
-      SELECT pr.w1 AS w1, pr.w2 AS w2, COUNT(*) AS n12
-      FROM pairs GROUP BY 1, 2
-    ),
-    uni AS (SELECT w1, SUM(n12) AS n1 FROM big GROUP BY w1)
-    SELECT b.w1, b.w2, b.n12, u.n1,
-           CAST(b.n12 AS DOUBLE) / u.n1 AS cond_prob
-    FROM big b JOIN uni u ON b.w1 = u.w1
-    WHERE b.n12 >= 10
-    """,
-)
-def text_bigram_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram conditional probabilities P(w2 | w1) — the count-based
-    language-model primitive (perplexity/surprisal scoring reduces to
-    joins against this table).
-
-    Counts stay integers end-to-end; each probability is ONE double
-    division of two exact counts — bit-identical across engines (the
-    reason this avoids log-space, where libm ulp differences between
-    JVM and C would break value parity).  The unigram table derives
-    from the bigram aggregate (continuation counts), so the corpus is
-    scanned once."""
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    k = F.greatest(F.size(words) - 1, F.lit(0))
-    zipped = F.slice(
-        F.arrays_zip(words.alias("w1"), F.slice(words, 2, k).alias("w2")), 1, k
-    )
-    big = (
-        d.select(F.explode(zipped).alias("pr"))
-        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("n12"))
-    )
-    uni = big.groupBy(F.col("w1").alias("u_w1")).agg(F.sum("n12").alias("n1"))
-    return (
-        big.join(uni, big.w1 == F.col("u_w1"))
-        .filter(F.col("n12") >= 10)
-        .select(
-            "w1",
-            "w2",
-            "n12",
-            "n1",
-            (F.col("n12").cast("double") / F.col("n1")).alias("cond_prob"),
-        )
-    )
+# text_bigram_cond_prob moved to operators/window_regrade.py for the
+# round-4 re-grade window (oracle HUGEINT edge repaired there).

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import davg, dsum, register, sql_davg, sql_dsum
 
@@ -264,10 +265,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_priority_by_returnflag",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -595,7 +596,8 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = l.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
-    ).persist()  # feeds both the max aggregate and the equality filter
+    )  # feeds both the max aggregate and the equality filter
+    rev = cached(rev)
     mx = rev.agg(F.max("total_rev").alias("mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -692,7 +694,8 @@ def q_waiting_orders_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
-    ).persist()  # feeds the pair set AND the per-order late-supplier count
+    )  # feeds the pair set AND the per-order late-supplier count
+    late = cached(late)
     n_supp = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers")
     )
@@ -829,7 +832,8 @@ def q_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     val = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).alias("v")
-    ).persist()  # feeds the global scalar and the filter
+    )  # feeds the global scalar and the filter
+    val = cached(val)
     total = val.agg(
         (F.sum("v") * F.lit(1.5).cast("decimal(2,1)")).alias("thresh"),
         F.count("*").alias("n_parts"),

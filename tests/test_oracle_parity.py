@@ -66,10 +66,35 @@ def _duck_rows(con, sql):
     )
 
 
+# Output types the driver's value-hasher mishandles.  DuckDB types
+# SUM(BIGINT) as HUGEINT → Arrow decimal128(38,0) → the driver hashes
+# Decimal(123) while Spark emits 123 (two r3 hash-fails, VERDICT r3 §wrong).
+# The local gate's fetchall() coerces these to int, hiding the bug — so
+# this lint checks the DuckDB-reported *types*, which fetchall() can't mask.
+_UNPORTABLE = ("HUGEINT", "UHUGEINT", "DECIMAL", "TINYINT", "UTINYINT")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_output_types_portable(name, duck):
+    rel = duck.sql(ORACLE[name])
+    flagged = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(u in str(t) for u in _UNPORTABLE)
+    ]
+    assert not flagged, (
+        f"{name}: oracle output columns {flagged} have driver-unportable "
+        f"types — CAST to BIGINT/DOUBLE at the compared edge"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
+    from project_fauna_spark.cache import release_cached
+
     df = QUERIES[name](spark, SF_DIR)
     s_cols, s_rows = _spark_rows(df)
+    release_cached()  # free this query's persisted frames before the next
     assert len(s_rows) >= 0  # smoke: query runs
     if name not in ORACLE:
         assert len(s_rows) > 0, f"{name}: rows-only query returned empty"

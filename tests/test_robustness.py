@@ -92,8 +92,8 @@ def test_registry_consistency():
         "dedup_minhash_lsh",
         "dedup_simhash64",
         "text_hashed_tf",
-        # real binary decode (BMP) — no SQL equivalent
-        "mm_decode_features",
+        # (mm_decode_features graduated to an exact oracle in round 4:
+        # the BMP round-trip is deterministic byte math DuckDB replays)
         # spark.ml twins of the exact oracled implementations
         "ml_tfidf_pipeline",
         "ml_minhash_lsh",
