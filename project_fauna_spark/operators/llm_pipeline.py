@@ -21,12 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.functions.shingles import shingle_hashes, shingles
+from project_fauna_spark.operators.dedup import _SQL_RARE_SHINGLES, _drop_hot_shingles
 from project_fauna_spark.plans.registry import register
 
 
 @register(
     "llm_corpus_clean",
-    oracle="""
+    oracle=f"""
     WITH quality AS (
       SELECT doc_id, text, lang,
              len(string_split(text, ' ')) AS n_tokens
@@ -45,12 +46,15 @@ from project_fauna_spark.plans.registry import register
                             for i in range(1, len(ws) - 1)]) AS sgl
       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM exact_kept)
     ),
+    {_SQL_RARE_SHINGLES},
     neardup_b AS (
       SELECT DISTINCT b.doc_id
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sgl, b.sgl)) > 0
-        AND CAST(len(list_intersect(a.sgl, b.sgl)) AS DOUBLE)
-            / (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))) >= 0.5
+      JOIN rare ar ON ar.doc_id = a.doc_id
+      JOIN rare br ON br.doc_id = b.doc_id
+      WHERE len(list_intersect(ar.rsgl, br.rsgl)) > 0
+        AND CAST(len(list_intersect(ar.rsgl, br.rsgl)) AS DOUBLE)
+            / (len(a.sgl) + len(b.sgl) - len(list_intersect(ar.rsgl, br.rsgl))) >= 0.5
     )
     SELECT e.doc_id, e.lang, e.n_tokens
     FROM exact_kept e
@@ -89,7 +93,11 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_ngram_jaccard), then drop every pair's doc_b.
     hashed = exact_kept.select("doc_id", shingle_hashes(F.col("text")).alias("hsgl"))
     ex = hashed.select("doc_id", F.size("hsgl").alias("n"), F.explode("hsgl").alias("h"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # df-cap the candidate index (dedup.MAX_SHINGLE_DF): hot shingles
+    # fan out k²/2 join rows; the greedy gate below scores the capped
+    # intersection against FULL set sizes, mirrored in the oracle.
+    exr = _drop_hot_shingles(ex)
+    a, b = exr.alias("a"), exr.alias("b")
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(

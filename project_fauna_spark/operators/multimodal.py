@@ -4,10 +4,10 @@ Images/audio/video at pipeline scale are opaque ``binary`` columns
 with typed metadata; decode/feature-extraction runs in Arrow-batched
 Pandas stages (``mapInPandas``).  The container has no image/audio
 libraries, so the operators use the one raster format the stdlib can
-encode AND decode honestly: ``mm_decode_features`` round-trips real
-24-bit BMP files (struct-packed headers, numpy pixel math) — a
-genuine codec path end-to-end; only ``mm_frame_sample``'s "frame"
-math is byte slicing standing in for real video codecs, as marked.
+encode AND decode honestly: ``mm_decode_features`` and
+``mm_frame_sample`` round-trip real 24-bit BMP files (struct-packed
+headers, numpy pixel math) — a genuine codec path end-to-end; frames
+are decoded raster rows, not byte slices (the r2/r3 stand-in is gone).
 Swapping in PIL/ffmpeg changes only the encode/decode function
 bodies; the Spark-side contract (schema, batching, partitioning, UDF
 signatures) is identical.
@@ -30,7 +30,6 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -88,64 +87,106 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FRAME_SIZE = 64
-FRAME_STRIDE = 4  # sample every 4th frame
+FRAME_STRIDE = 4  # sample every 4th raster row ("frame")
 
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.LongType()),
         T.StructField("frame_bytes", T.LongType()),
-        T.StructField("frame_sha8", T.StringType()),
+        T.StructField("mean_intensity", T.DoubleType()),
     ]
 )
 
 
 @register(
     "mm_frame_sample",
+    # Fully deterministic from the payload bytes, so DuckDB replays the
+    # codec math exactly: the encoder rasterizes into 192-byte rows
+    # (64 px × 24-bit), zero-padding the last row; each sampled row's
+    # mean luminance is (Σ row bytes)/192/255, the padded zeros adding
+    # nothing.  Same float-op order as numpy (row mean, then /255);
+    # payloads are ASCII, so unicode(char) == byte value.
     oracle="""
-    SELECT d.doc_id,
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n,
+             GREATEST(1, CAST(ceil(octet_length(encode(text)) / 192.0) AS BIGINT))
+               AS height
+      FROM documents
+    )
+    SELECT b.doc_id,
            g.idx AS frame_idx,
-           CAST(length(substring(d.text, CAST(g.idx*64 + 1 AS INT), 64)) AS BIGINT)
-             AS frame_bytes,
-           substring(sha256(substring(d.text, CAST(g.idx*64 + 1 AS INT), 64)), 1, 8)
-             AS frame_sha8
-    FROM documents d,
-         LATERAL (SELECT unnest(generate_series(
-                    0, CAST(ceil(length(d.text)/64.0) AS BIGINT) - 1, 4)) AS idx) g
+           CAST(192 AS BIGINT) AS frame_bytes,
+           (CAST((SELECT COALESCE(CAST(SUM(
+                    CASE WHEN g.idx*192 + r.i <= b.n
+                         THEN unicode(substring(b.text, CAST(g.idx*192 + r.i AS INT), 1))
+                         ELSE 0 END) AS BIGINT), 0)
+                  FROM (SELECT unnest(range(1, 193)) AS i) r) AS DOUBLE)
+            / 192) / CAST(255 AS DOUBLE) AS mean_intensity
+    FROM b,
+         LATERAL (SELECT unnest(generate_series(0, b.height - 1, 4)) AS idx) g
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling via ``mapInPandas``: payload → every 4th 64-byte
-    frame, one output row per sampled frame.
+    """Frame sampling over REAL decoded rasters via two chained
+    ``mapInPandas`` stages: payload → valid 24-bit BMP (`_encode_bmp`)
+    → header parse + pixel-array decode (`_decode_bmp` machinery) →
+    every 4th raster row emitted as a "frame" with its actual
+    mean-luminance feature.
 
-    The Arrow-batched Pandas stage is the real multimodal plumbing;
-    the "frame" math is byte slicing (a stand-in for video frame
-    extraction, which needs codecs this container lacks).  Because
-    payloads are ASCII text bytes and both engines agree on sha256,
-    the Pandas stage is fully oracle-checked: DuckDB regenerates every
-    (frame_idx, bytes, digest) row with a lateral ``generate_series``.
+    This replaces the round-2/3 byte-slice stand-in: the frames now
+    come out of the decoded pixel array of a genuine raster codec
+    (width/offset read from BITMAPINFOHEADER, zero-padded rows
+    included), which is the real video-frame-extraction shape — swap
+    `_decode_bmp` + the row iterator for an ffmpeg frame iterator and
+    nothing else changes.  Row fan-out happens in the Pandas stage
+    BEFORE any heavy per-frame work, so downstream decode parallelism
+    is per-frame, not per-video.
     """
+    import struct
+
+    import numpy as np
+
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
+
+    bmp_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [_encode_bmp(bytes(b)) for b in pdf["payload"]],
+                }
+            )
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
-                for idx in range(0, (len(data) + FRAME_SIZE - 1) // FRAME_SIZE, FRAME_STRIDE):
-                    frame = data[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                # REAL decode: pixel offset + geometry from the headers.
+                pixel_offset = struct.unpack_from("<I", data, 10)[0]
+                width, height = struct.unpack_from("<ii", data, 18)
+                row_bytes = width * 3
+                pixels = np.frombuffer(data, dtype=np.uint8, offset=pixel_offset)
+                for idx in range(0, abs(height), FRAME_STRIDE):
+                    row = pixels[idx * row_bytes : (idx + 1) * row_bytes]
                     out.append(
                         {
                             "doc_id": int(doc_id),
                             "frame_idx": idx,
-                            "frame_bytes": len(frame),
-                            "frame_sha8": hashlib.sha256(frame).hexdigest()[:8],
+                            "frame_bytes": len(row),
+                            "mean_intensity": float(row.mean()) / 255.0,
                         }
                     )
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    return p.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+    return p.mapInPandas(encode, schema=bmp_schema).mapInPandas(
+        sample_frames, schema=FRAME_SCHEMA
+    )
 
 
 DECODE_SCHEMA = T.StructType(
@@ -216,7 +257,7 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     # nothing to the sum, partial sums of ints are exact in float64, and
     # both engines perform the same two divisions in the same order
     # (numpy: mean first, then /255).  Payloads are ASCII (asserted by
-    # mm_frame_sample's sha256 parity), so unicode(char) == byte value.
+    # mm_binary_meta's sha256 parity), so unicode(char) == byte value.
     oracle="""
     WITH b AS (
       SELECT d.doc_id,
