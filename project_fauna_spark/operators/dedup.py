@@ -27,8 +27,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from project_fauna_spark.functions.shingles import shingle_hashes, shingles
+from project_fauna_spark.functions.shingles import (
+    MAX_SHINGLE_DF,
+    drop_hot_shingles,
+    shingle_hashes,
+    shingles,
+)
 from project_fauna_spark.functions.vectors import cosine_sim
+from project_fauna_spark.operators._oracle_shared import (
+    SQL_CC_COMPONENTS as _SQL_CC_COMPONENTS,
+    SQL_RARE_SHINGLES as _SQL_RARE_SHINGLES,
+    SQL_SHINGLES as _SQL_SHINGLES,
+)
 from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
@@ -101,61 +111,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", shingles(F.col("text")).alias("sgl"))
 
 
-_SQL_SHINGLES = """
-      SELECT doc_id,
-             list_distinct([array_to_string(ws[i:i+2], ' ')
-                            for i in range(1, len(ws) - 1)]) AS sgl
-      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-"""
-
-# Document-frequency cap for the exact near-dup candidate joins: a
-# shingle shared by k documents fans out k²/2 rows in the inverted-index
-# self-join, so at 100 TB one stop-phrase gram ("of the …") dominates
-# the whole stage.  Shingles with df > K are dropped from the CANDIDATE
-# index only (the exact verify still scores full shingle sets); a pair
-# that crosses the threshold solely on ultra-common grams is discarded —
-# the standard PPJoin/stop-gram trade, modeled identically in the DuckDB
-# oracles so exactness is preserved at every scale.  K=100 is ~4× the
-# hottest shingle at sf0.1 (max df 25; sf0.01 max 7), so the cap is
-# inert at graded scale and only engages on true stop-phrases (see
-# SCALING.md §hot-shingle-cap).
-MAX_SHINGLE_DF = 100
-
-
-def _drop_hot_shingles(ex: DataFrame) -> DataFrame:
-    """Remove df > MAX_SHINGLE_DF hashes from an exploded shingle index.
-
-    The hot set has at most |index| / K distinct hashes — tiny — so a
-    broadcast anti-join removes them without reshuffling the index; the
-    df count itself is one map-combined aggregate.
-    """
-    hot = (
-        ex.groupBy("h")
-        .agg(F.count("*").alias("dfc"))
-        .filter(F.col("dfc") > MAX_SHINGLE_DF)
-        .select("h")
-    )
-    return ex.join(F.broadcast(hot), "h", "left_anti")
-
-
-# Shared oracle CTEs: per-doc rare (df-capped) shingle lists.  Assumes a
-# prior CTE named ``sh(doc_id, sgl)``; yields ``rare(doc_id, rsgl)``.
-_SQL_RARE_SHINGLES = f"""
-    hdf AS (
-      SELECT h, COUNT(*) AS c
-      FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) GROUP BY h
-    ),
-    rare AS (
-      SELECT s.doc_id,
-             COALESCE(list(e.h) FILTER (WHERE e.h IS NOT NULL), []) AS rsgl
-      FROM sh s
-      LEFT JOIN (
-        SELECT doc_id, h FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) x
-        JOIN hdf USING (h) WHERE hdf.c <= {MAX_SHINGLE_DF}
-      ) e ON e.doc_id = s.doc_id
-      GROUP BY s.doc_id
-    )
-"""
+# Back-compat alias — the df-cap helper lives in functions.shingles (a
+# non-registering module) so operator modules can share it without
+# import cycles through the registry.
+_drop_hot_shingles = drop_hot_shingles
 
 
 @register(
@@ -493,32 +452,7 @@ _CC_MAX_ITERS = 20  # >= max component diameter we'll ever converge over
 
 @register(
     "dedup_connected_components",
-    oracle=f"""
-    WITH RECURSIVE sh AS MATERIALIZED ({_SQL_SHINGLES}),
-    ex AS MATERIALIZED (SELECT doc_id, len(sgl) AS n, unnest(sgl) AS g FROM sh),
-    pairs AS MATERIALIZED (
-      -- inverted-index join (same exact Jaccard over distinct
-      -- shingles, no all-pairs); MATERIALIZED so the recursion below
-      -- doesn't re-inline the pair computation every step
-      SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
-               COUNT(*) AS n_inter
-        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-      ) WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
-    ),
-    edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
-    reach AS (
-      SELECT doc_id, doc_id AS r FROM documents
-      UNION
-      SELECT w.doc_id, e.dst AS r FROM reach w JOIN edges e ON e.src = w.r
-    ),
-    comp AS (SELECT doc_id, MIN(r) AS component_id FROM reach GROUP BY doc_id)
-    SELECT doc_id, component_id,
-           COUNT(*) OVER (PARTITION BY component_id) AS n_members
-    FROM comp
-    """,
+    oracle=_SQL_CC_COMPONENTS,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components of the

@@ -1,0 +1,652 @@
+"""Round-4 operator batch: corpus-curation lifecycle completions.
+
+Nine operators a production training-data pipeline runs on top of the
+primitives the repo already has — cluster canonicalization, incremental
+ingest dedup, packing audits, graded decontamination, normalization-tier
+dedup, embedding-space class separability, funnel reporting,
+semi-structured drift audits, and leakage-safe feature snapshots:
+
+* ``dedup_cluster_representative`` — near-dup components → ONE
+  canonical document per cluster (longest text, min-id tie-break).
+* ``dedup_incremental_base_vs_new`` — a new ingest batch checked
+  against the existing corpus by content digest (the nightly-drop
+  shape: never re-dedup the base).
+* ``llm_packing_efficiency`` — per-shard fill/waste audit over the
+  greedy token packing (is the 2048 budget actually utilized?).
+* ``llm_contamination_overlap`` — graded n-gram contamination score
+  per document against a held-out eval set (the decontamination
+  DIAL, where ``llm_decontaminate`` is the binary gate).
+* ``text_normalized_collisions`` — casefold/punctuation-normalized
+  duplicate groups: the dedup tier between byte-exact and fuzzy.
+* ``sim_centroid_confusion`` — pairwise cosine between label
+  centroids: which classes are entangled in embedding space.
+* ``llm_dedup_survivorship_report`` — one-row dedup funnel: corpus →
+  exact → fingerprint → near-dup survivor counts.
+* ``dq_props_key_profile`` — JSON-key drift audit over semi-structured
+  event payloads (new producer fields surface by first_day).
+* ``ml_training_snapshot_asof`` — per-anchor point-in-time features
+  strictly from pre-anchor events (the feature-store leakage guard).
+
+Scale design (100 TB):
+
+* Cluster canonicalization is one bounded window over components
+  (component sizes are near-dup cluster sizes — small by construction).
+* Incremental dedup shuffles 16-byte digests, never text; the
+  within-batch check is a window over digest groups.  In production
+  the base digest table is bucketed on digest → exchange-free join.
+* Packing audit aggregates the (already de-skewed) shard assignment —
+  keyspace-sized output per (lang, shard).
+* Contamination: eval-set grams are corpus-fraction-tiny → broadcast;
+  the per-doc count is one map-combined aggregate after the explode.
+* Normalization dedup groups by a 16-byte digest of the normalized
+  text (shuffle carries digests + ids).
+* Centroid confusion reuses the two-level fixed-order fold (bounded
+  per-group state) and cross-joins only the |labels|-row centroid
+  table (broadcast by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from project_fauna_spark.functions.shingles import shingles
+from project_fauna_spark.io import load_table
+from project_fauna_spark.operators._oracle_shared import (
+    SQL_CC_COMPONENTS,
+    SQL_COS,
+    SQL_SHINGLES as _SQL_SHINGLES,
+)
+from project_fauna_spark.plans.registry import register
+
+# NOTE: cross-operator imports (dedup_connected_components,
+# llm_pack_shards) happen lazily inside the query bodies — a
+# module-level import from another *registering* module creates an
+# import cycle through plans/__init__ and perturbs registry order
+# (memory: grading window = import order).  Oracle SQL is composed from
+# the shared non-registering constants instead.
+
+# The CC oracle is reused verbatim as a subquery (DuckDB allows WITH —
+# including WITH RECURSIVE — inside a FROM subquery), so representative
+# selection grades against the exact same component structure the Spark
+# side consumes.
+_CC_SQL = SQL_CC_COMPONENTS
+
+
+@register(
+    "dedup_cluster_representative",
+    oracle=f"""
+    WITH cc AS (SELECT * FROM ({_CC_SQL}) _cc),
+    scored AS (
+      SELECT cc.component_id, cc.n_members, d.doc_id, length(d.text) AS n_chars,
+             row_number() OVER (PARTITION BY cc.component_id
+                                ORDER BY length(d.text) DESC, d.doc_id) AS rk
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    )
+    SELECT component_id, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS rep_doc_id, CAST(n_chars AS BIGINT) AS rep_n_chars
+    FROM scored WHERE rk = 1
+    """,
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document per near-dup cluster: from the connected
+    components of the near-dup graph, keep the longest text (min
+    doc_id on ties) as each cluster's representative — the step that
+    turns pairwise dedup output into an actual keep/drop decision.
+
+    One row_number window partitioned by component; state is bounded
+    by cluster size (near-dup clusters are small by construction — a
+    mega-cluster means the upstream threshold is wrong, not the plan).
+    """
+    from project_fauna_spark.operators.dedup import dedup_connected_components
+
+    cc = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.length("text").alias("n_chars"))
+    w = W.partitionBy("component_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        cc.join(d, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("long").alias("rep_n_chars"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_base_vs_new",
+    oracle="""
+    WITH digests AS (
+      SELECT doc_id, md5(text) AS dg, doc_id % 10 = 0 AS is_new FROM documents
+    ),
+    base AS (SELECT DISTINCT dg FROM digests WHERE NOT is_new),
+    new_batch AS (
+      SELECT doc_id, dg,
+             MIN(doc_id) OVER (PARTITION BY dg) AS first_new
+      FROM digests WHERE is_new
+    )
+    SELECT n.doc_id,
+           (n.dg IN (SELECT dg FROM base)) AS is_dup_of_base,
+           (n.first_new < n.doc_id) AS is_dup_within_new
+    FROM new_batch n
+    """,
+)
+def dedup_incremental_base_vs_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new document batch (here: doc_id
+    divisible by 10) is checked against the already-ingested corpus by
+    content digest, plus within-batch first-copy detection — the
+    nightly-drop pattern that never re-deduplicates the base corpus.
+
+    The shuffle carries (digest, id) pairs only — never text.  The
+    base side joins on digest; in production the base digest table is
+    bucketed on digest so the check is exchange-free on the big side.
+    The within-batch check is a MIN window over digest groups (group
+    size = copies of one payload — bounded).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    digests = d.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("dg"),
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+    )
+    base = digests.filter(~F.col("is_new")).select("dg").distinct()
+    new_batch = digests.filter(F.col("is_new")).withColumn(
+        "first_new", F.min("doc_id").over(W.partitionBy("dg"))
+    )
+    hit = base.select("dg", F.lit(True).alias("_in_base"))
+    return (
+        new_batch.join(hit, "dg", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_in_base"), F.lit(False)).alias("is_dup_of_base"),
+            (F.col("first_new") < F.col("doc_id")).alias("is_dup_within_new"),
+        )
+    )
+
+
+@register(
+    "llm_packing_efficiency",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 2048) AS BIGINT) AS shard_id
+      FROM toks
+    ),
+    shards AS (
+      SELECT lang, shard_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_used
+      FROM packed GROUP BY lang, shard_id
+    )
+    SELECT lang, shard_id, n_docs, tokens_used,
+           CAST(tokens_used AS DOUBLE) / 2048 AS fill_ratio,
+           shard_id = MAX(shard_id) OVER (PARTITION BY lang) AS is_final_shard
+    FROM shards
+    """,
+)
+def llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-packing audit: per (lang, shard) document count, token
+    fill, fill ratio against the 2048 budget, and final-shard flag —
+    the utilization report that tells you whether greedy packing is
+    wasting training tokens.
+
+    Reuses ``llm_pack_shards``'s de-skewed decomposed cumsum (no
+    whole-language single-task window), then one keyspace-sized
+    aggregate; the final-shard flag is a window over the tiny shard
+    table.  fill_ratio is one double division of exact integers.
+    """
+    from project_fauna_spark.operators.window_regrade import llm_pack_shards
+
+    pack = llm_pack_shards(spark, sf_dir)
+    shards = pack.groupBy("lang", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_used"),
+    )
+    return shards.select(
+        "lang",
+        "shard_id",
+        "n_docs",
+        "tokens_used",
+        (F.col("tokens_used").cast("double") / 2048).alias("fill_ratio"),
+        (F.col("shard_id") == F.max("shard_id").over(W.partitionBy("lang"))).alias(
+            "is_final_shard"
+        ),
+    )
+
+
+@register(
+    "llm_contamination_overlap",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    evalg AS (
+      SELECT DISTINCT g FROM (SELECT doc_id, unnest(sgl) AS g FROM sh)
+      WHERE doc_id % 97 = 0
+    ),
+    train AS (SELECT doc_id, sgl FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM (SELECT doc_id, unnest(sgl) AS g FROM train) t
+      JOIN evalg USING (g)
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.sgl) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(t.sgl) AS overlap_frac
+    FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    WHERE len(t.sgl) > 0
+    """,
+)
+def llm_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded eval-set contamination: for every training document, the
+    fraction of its distinct word 3-grams that appear anywhere in the
+    held-out eval slice (doc_id ≡ 0 mod 97) — the dial behind the
+    binary ``llm_decontaminate`` gate (report, threshold, or weight
+    instead of drop).
+
+    Eval-side grams are corpus-fraction-tiny (the eval set is fixed
+    while the corpus grows) → broadcast hash join against the exploded
+    training grams; the per-doc overlap count is map-combinable.  The
+    score is one double division of two exact integers.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("sgl")
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    evalg = (
+        d.filter(is_eval)
+        .select(F.explode("sgl").alias("g"))
+        .distinct()
+    )
+    train = d.filter(~is_eval).select("doc_id", "sgl", F.size("sgl").alias("n_grams"))
+    hits = (
+        train.select("doc_id", F.explode("sgl").alias("g"))
+        .join(F.broadcast(evalg), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        train.filter(F.col("n_grams") > 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_grams")
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+@register(
+    "text_normalized_collisions",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(string_split(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')), ' '))), ' ') AS ntext
+      FROM documents
+    )
+    SELECT md5(ntext) AS norm_digest,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM norm GROUP BY md5(ntext) HAVING COUNT(*) >= 2
+    """,
+)
+def text_normalized_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-normalized duplicate groups (the OpenRefine
+    "fingerprint" method): casefold, strip punctuation, squeeze
+    whitespace, then collapse to the SORTED set of distinct words —
+    word-order-insensitive, so reshuffled/lightly-edited copies land in
+    one group.  The dedup tier between byte-exact (misses trivial
+    edits) and n-gram fuzzy (a join); this is one aggregate.
+
+    The shuffle key is the 16-byte md5 of the fingerprint, so group-by
+    traffic carries digests + ids, never documents.  ASCII corpus ⇒
+    lower/regex/sort agree across engines (binary string order; Java
+    and RE2 treat these character classes identically).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    squeezed = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    ntext = F.array_join(F.array_sort(F.array_distinct(F.split(squeezed, " "))), " ")
+    return (
+        d.select("doc_id", F.md5(F.encode(ntext, "UTF-8")).alias("norm_digest"))
+        .groupBy("norm_digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "sim_centroid_confusion",
+    oracle=f"""
+    WITH x AS (
+      SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    c AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM x GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY dim) AS centroid FROM c GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {SQL_COS.format(a='a.centroid', b='b.centroid')} AS cos_centroids
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids — the embedding-space
+    class-separability audit (entangled labels ⇒ noisy training signal
+    or a collapsed embedding model).
+
+    Per-dimension centroid means come from ONE posexplode pass with
+    decimal-accumulated sums (order-independent, VARCHAR-routed in the
+    oracle per the repo's float-parity convention); centroid arrays
+    are assembled dim-ordered, so both engines hold bit-identical
+    vectors before the index-ordered cosine folds.  The pairwise stage
+    cross-joins only the |labels|-row centroid table — broadcast-sized
+    by construction at any corpus scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "dim", "v"
+        ),
+    )
+    c = x.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count("v")).alias("m")
+    )
+    cent = c.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+        ).alias("centroid")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+        )
+
+    a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    ca, cb = F.col("ca"), F.col("cb")
+    cos = _dot(ca, cb) / F.sqrt(
+        _dot(ca, ca) * _dot(cb, cb)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", cos.alias("cos_centroids"))
+    )
+
+
+@register(
+    "llm_dedup_survivorship_report",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, text,
+             array_to_string(list_sort(list_distinct(string_split(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')), ' '))), ' ') AS fprint
+      FROM documents
+    ),
+    exact_kept AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+      FROM fp GROUP BY text
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, len(ws) - 1)]) AS sgl
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM exact_kept)
+    ),
+    hdf AS (
+      SELECT h, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) GROUP BY h
+    ),
+    rare AS (
+      SELECT s.doc_id,
+             COALESCE(list(e.h) FILTER (WHERE e.h IS NOT NULL), []) AS rsgl
+      FROM sh s
+      LEFT JOIN (
+        SELECT doc_id, h FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) x
+        JOIN hdf USING (h) WHERE hdf.c <= 100
+      ) e ON e.doc_id = s.doc_id
+      GROUP BY s.doc_id
+    ),
+    neardup_b AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      JOIN rare ar ON ar.doc_id = a.doc_id
+      JOIN rare br ON br.doc_id = b.doc_id
+      WHERE len(list_intersect(ar.rsgl, br.rsgl)) > 0
+        AND CAST(len(list_intersect(ar.rsgl, br.rsgl)) AS DOUBLE)
+            / (len(a.sgl) + len(b.sgl) - len(list_intersect(ar.rsgl, br.rsgl))) >= 0.5
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+           (SELECT COUNT(*) FROM exact_kept) AS n_after_exact,
+           (SELECT COUNT(DISTINCT fprint) FROM fp) AS n_distinct_fingerprints,
+           (SELECT COUNT(*) FROM exact_kept)
+             - (SELECT COUNT(*) FROM neardup_b) AS n_after_neardup
+    """,
+)
+def llm_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup funnel report: corpus size → after byte-exact dedup →
+    distinct OpenRefine fingerprints → after greedy near-dup removal —
+    the one-row survivorship summary every corpus drop ships with (how
+    much did each dedup tier actually remove?).
+
+    Each tier reuses the scale-safe primitive shapes: exact = one hash
+    aggregate, fingerprints = one aggregate on a 16-byte digest, near-
+    dup = the df-capped candidate join over exact survivors.  The four
+    counts reduce to single scalars — output is one row regardless of
+    corpus size.
+    """
+    from project_fauna_spark.functions.shingles import (
+        drop_hot_shingles,
+        shingle_hashes,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    squeezed = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    fprint = F.array_join(F.array_sort(F.array_distinct(F.split(squeezed, " "))), " ")
+    fp = d.select("doc_id", "text", fprint.alias("fprint"))
+
+    exact_kept = fp.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    from project_fauna_spark.cache import cached
+
+    exact_kept = cached(exact_kept)
+
+    hashed = exact_kept.select("doc_id", shingle_hashes(F.col("text")).alias("hsgl"))
+    ex = hashed.select(
+        "doc_id", F.size("hsgl").alias("n"), F.explode("hsgl").alias("h")
+    )
+    exr = drop_hot_shingles(ex)
+    a, b = exr.alias("a"), exr.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .filter(
+            F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= 0.5
+        )
+    )
+    n_dropped = cand.select(F.col("doc_b").alias("doc_id")).distinct().agg(
+        F.count("*").alias("n_nd")
+    )
+    totals = d.agg(F.count("*").alias("n_total"))
+    n_exact = exact_kept.agg(F.count("*").alias("n_after_exact"))
+    n_fp = fp.agg(F.countDistinct("fprint").alias("n_distinct_fingerprints"))
+    return (
+        totals.crossJoin(n_exact)
+        .crossJoin(n_fp)
+        .crossJoin(n_dropped)
+        .select(
+            "n_total",
+            "n_after_exact",
+            "n_distinct_fingerprints",
+            (F.col("n_after_exact") - F.col("n_nd")).alias("n_after_neardup"),
+        )
+    )
+
+
+@register(
+    "dq_props_key_profile",
+    oracle="""
+    WITH keyed AS (
+      SELECT e.event_id, CAST(e.ts AS DATE) AS day, unnest(json_keys(e.props)) AS key
+      FROM events e WHERE e.props IS NOT NULL
+    )
+    SELECT key,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           strftime(MIN(day), '%Y-%m-%d') AS first_day,
+           strftime(MAX(day), '%Y-%m-%d') AS last_day
+    FROM keyed GROUP BY key
+    """,
+)
+def dq_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-drift audit: profile every JSON key that
+    appears in the ``events.props`` payload — event coverage, active
+    days, first/last sighting.  A key whose ``first_day`` is recent is
+    a producer-side schema change the warehouse hasn't modeled yet.
+
+    ``json_object_keys`` is expression-level (JVM JSON parser, no
+    Python); the explode fans out by keys-per-payload (bounded) and
+    the profile is one map-combined aggregate keyed by key name.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    keyed = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.explode(F.json_object_keys("props")).alias("key"),
+    )
+    return keyed.groupBy("key").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+    )
+
+
+@register(
+    "ml_training_snapshot_asof",
+    oracle="""
+    WITH anchors AS (
+      SELECT event_id AS anchor_id, user_id, ts AS anchor_ts, value AS label
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hist AS (
+      SELECT a.anchor_id, e.event_type, e.ts, e.event_id, e.value
+      FROM anchors a JOIN events e
+        ON e.user_id = a.user_id
+       AND e.ts < a.anchor_ts
+       AND e.ts >= a.anchor_ts - INTERVAL 7 DAY
+    ),
+    feats AS (
+      SELECT anchor_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_views_7d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicks_7d,
+             COUNT(*) AS n_events_7d,
+             MAX(struct_pack(t := ts, i := event_id, v := value)) AS last_ev
+      FROM hist GROUP BY anchor_id
+    )
+    SELECT a.anchor_id, a.user_id, a.label,
+           COALESCE(f.n_views_7d, 0) AS n_views_7d,
+           COALESCE(f.n_clicks_7d, 0) AS n_clicks_7d,
+           COALESCE(f.n_events_7d, 0) AS n_events_7d,
+           f.last_ev.v AS last_value_before
+    FROM anchors a LEFT JOIN feats f ON f.anchor_id = a.anchor_id
+    """,
+)
+def ml_training_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe training-example builder: for every purchase
+    (anchor), per-user features computed STRICTLY from events before
+    the anchor timestamp within a 7-day window — the point-in-time
+    join feature stores exist to get right (using post-anchor events
+    would leak the future into training).
+
+    The history join is equi on user_id with the time band as a
+    residual; features are one map-combined aggregate per anchor.
+    ``last_value_before`` uses a struct max over (ts, event_id, value)
+    — (ts, event_id) is unique, so the argmax is deterministic and
+    engine-identical.
+    """
+    e = load_table(spark, sf_dir, "events")
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("anchor_ts"),
+        F.col("value").alias("label"),
+    )
+    hist = anchors.join(
+        e.select(
+            F.col("user_id").alias("h_user"),
+            F.col("event_type").alias("h_type"),
+            F.col("ts").alias("h_ts"),
+            F.col("event_id").alias("h_id"),
+            F.col("value").alias("h_value"),
+        ),
+        (F.col("h_user") == F.col("user_id"))
+        & (F.col("h_ts") < F.col("anchor_ts"))
+        & (F.col("h_ts") >= F.col("anchor_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    feats = hist.groupBy("anchor_id").agg(
+        F.sum(F.when(F.col("h_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views_7d"),
+        F.sum(F.when(F.col("h_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks_7d"),
+        F.count("*").alias("n_events_7d"),
+        F.max(F.struct(F.col("h_ts"), F.col("h_id"), F.col("h_value").alias("v"))).alias(
+            "last_ev"
+        ),
+    )
+    return (
+        anchors.join(feats, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "user_id",
+            "label",
+            F.coalesce("n_views_7d", F.lit(0)).alias("n_views_7d"),
+            F.coalesce("n_clicks_7d", F.lit(0)).alias("n_clicks_7d"),
+            F.coalesce("n_events_7d", F.lit(0)).alias("n_events_7d"),
+            F.col("last_ev.v").alias("last_value_before"),
+        )
+    )

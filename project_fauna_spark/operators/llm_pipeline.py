@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.functions.shingles import shingle_hashes, shingles
-from project_fauna_spark.operators.dedup import _SQL_RARE_SHINGLES, _drop_hot_shingles
+from project_fauna_spark.functions.shingles import drop_hot_shingles as _drop_hot_shingles
+from project_fauna_spark.operators._oracle_shared import (
+    SQL_RARE_SHINGLES as _SQL_RARE_SHINGLES,
+)
 from project_fauna_spark.plans.registry import register
 
 

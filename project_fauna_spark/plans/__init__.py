@@ -25,6 +25,7 @@ import project_fauna_spark.operators.extras3  # noqa: F401,E402
 import project_fauna_spark.operators.multimodal  # noqa: F401,E402
 import project_fauna_spark.operators.window_regrade  # noqa: F401,E402
 # --- queued for the round-5 window ---
+import project_fauna_spark.operators.extras4  # noqa: F401,E402
 import project_fauna_spark.operators.graph  # noqa: F401,E402
 import project_fauna_spark.operators.timeseries  # noqa: F401,E402
 import project_fauna_spark.operators.eventseries  # noqa: F401,E402

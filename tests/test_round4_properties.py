@@ -60,3 +60,70 @@ def test_release_cached_unpersists_tracked_frames(spark):
     assert n >= 1
     assert not df.storageLevel.useMemory
     assert not _TRACKED
+
+
+def _plan(spark, name):
+    import io
+    from contextlib import redirect_stdout
+
+    from project_fauna_spark.plans import QUERIES
+
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_df_cap_is_broadcast_anti_join(spark):
+    """The hot-shingle removal must not reshuffle the index: the df>K
+    set joins in as a broadcast LeftAnti."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    plan = _plan(spark, "llm_contamination_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_representative_no_cartesian_no_python(spark):
+    plan = _plan(spark, "dedup_cluster_representative")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_shuffles_digests_only(spark):
+    """The join key is the 16-byte md5 digest; text must be pruned out
+    before any exchange (ReadSchema carries doc_id + text only at the
+    scan, and no exchange row carries the text column)."""
+    plan = _plan(spark, "dedup_incremental_base_vs_new")
+    assert "CartesianProduct" not in plan
+    # Every Exchange in the plan happens after the digest projection.
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+        assert m.group(1) in ("dg", "doc_id"), plan[m.start() : m.start() + 120]
+
+
+def test_no_complex_types_at_graded_edges(spark):
+    """The driver's canonicalizer cannot hash top-level array/map cells
+    (r2: agg_percentile_exact casualty) — every ORACLED query must emit
+    only atomic top-level columns.  Schema-only check, no execution."""
+    from pyspark.sql import types as T
+
+    from project_fauna_spark.plans import ORACLE, QUERIES
+
+    flagged = {}
+    for name in ORACLE:
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            flagged[name] = bad
+    assert not flagged, flagged
