@@ -65,6 +65,12 @@ HEADLINE = [
     "llm_ccnet_buckets",
     "q_market_basket_lift",
     "dedup_semantic_ivf",
+    # round 4 additions (baselines recorded in BASELINE.md same day)
+    "llm_contamination_overlap",
+    "text_normalized_collisions",
+    "ml_training_snapshot_asof",
+    "llm_dedup_survivorship_report",
+    "mm_frame_sample",
 ]
 
 
