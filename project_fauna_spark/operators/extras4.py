@@ -650,3 +650,56 @@ def ml_training_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_ev.v").alias("last_value_before"),
         )
     )
+
+
+_FD_CANDIDATES = [
+    # (table, determinant, dependent) — candidate FDs a profiler would test
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("orders", "o_orderkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+]
+
+
+@register(
+    "dq_functional_dependencies",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{t}' AS table_name, '{det}' AS determinant, '{dep}' AS dependent,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating_keys,
+           COUNT(*) FILTER (WHERE nd > 1) = 0 AS holds
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM {t} GROUP BY {det})
+    """
+        for t, det, dep in _FD_CANDIDATES
+    ),
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs: for
+    each (determinant → dependent) hypothesis, count determinant values
+    that map to more than one dependent value.  ``holds = true`` means
+    the FD is valid on this data — the schema-inference signal behind
+    normalization advice, join-key validation, and dimension modeling.
+
+    One map-combined two-level aggregate per candidate pair (group by
+    determinant, then reduce to three scalars), unioned keyspace-sized
+    rows.  A production profiler runs the same shape over the full
+    candidate lattice with pruning; the fixed list keeps this
+    oracle-exact.
+    """
+    out = None
+    for t, det, dep in _FD_CANDIDATES:
+        tbl = load_table(spark, sf_dir, t)
+        per_key = tbl.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        row = per_key.agg(
+            F.lit(t).alias("table_name"),
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count("*").alias("n_keys"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("n_violating_keys"),
+            (F.count(F.when(F.col("nd") > 1, 1)) == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
