@@ -70,6 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         configure_session(spark)
+        # The driver grades 50 queries sequentially in ONE session and
+        # never unpersists; release the PREVIOUS query's tracked caches
+        # here so its pinned frames don't accumulate across the round.
+        from project_fauna_spark.cache import release_cached
+
+        release_cached()
         return fn(spark, sf_dir)
 
     run.__doc__ = fn.__doc__
