@@ -711,3 +711,186 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_SEQ_BUCKETS = [0, 64, 128, 256, 512, 1024]  # left edges; last is open-ended
+
+
+def _bucket_case_sql() -> str:
+    parts = []
+    for i, lo in enumerate(_SEQ_BUCKETS):
+        hi = _SEQ_BUCKETS[i + 1] if i + 1 < len(_SEQ_BUCKETS) else None
+        cond = f"n_tokens < {hi}" if hi is not None else "TRUE"
+        label = f"[{lo},{hi})" if hi is not None else f"[{lo},inf)"
+        parts.append(f"WHEN {cond} THEN {i}")
+        parts.append(f"-- {label}")
+    return "CASE " + " ".join(p for p in parts if not p.startswith("--")) + " END"
+
+
+@register(
+    "llm_seq_len_histogram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT lang, {_bucket_case_sql()} AS bucket_ord, COUNT(*) AS n_docs
+      FROM toks GROUP BY 1, 2
+    ),
+    t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS total FROM b GROUP BY lang)
+    SELECT b.lang, CAST(b.bucket_ord AS INT) AS bucket_ord,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(b.n_docs) OVER (PARTITION BY b.lang ORDER BY b.bucket_ord
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+             / t.total AS cum_share
+    FROM b JOIN t ON t.lang = b.lang
+    """,
+)
+def llm_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram per language: power-of-two token-count
+    buckets with cumulative share — the audit behind choosing a training
+    context length (what fraction of the corpus fits in 256 tokens?).
+
+    Bucketing is an explicit CASE ladder (NOT floor(log2(n)) — libm at
+    exact powers of two is the one place engines may disagree on the
+    floor edge); one map-combined aggregate to |langs|·|buckets| rows,
+    then a keyspace-sized window for the cumulative share — one double
+    division per row of two exact integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    bucket = F.lit(len(_SEQ_BUCKETS) - 1)
+    for i in range(len(_SEQ_BUCKETS) - 2, -1, -1):
+        bucket = F.when(
+            F.col("n_tokens") < _SEQ_BUCKETS[i + 1], F.lit(i)
+        ).otherwise(bucket)
+    b = toks.groupBy("lang", bucket.cast("int").alias("bucket_ord")).agg(
+        F.count("*").alias("n_docs")
+    )
+    t = b.groupBy(F.col("lang").alias("t_lang")).agg(
+        F.sum("n_docs").cast("long").alias("total")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("bucket_ord")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        b.join(F.broadcast(t), b.lang == F.col("t_lang"))
+        .select(
+            "lang",
+            "bucket_ord",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (
+                F.sum("n_docs").over(w).cast("long").cast("double") / F.col("total")
+            ).alias("cum_share"),
+        )
+    )
+
+
+@register(
+    "q_percentile_bands_daily",
+    oracle="""
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily P50/P95 bands per event type — the latency/value dashboard
+    aggregation (exact PERCENTILE_CONT over each (type, day) group).
+
+    One shuffle on the composite key; exact percentiles sort each
+    group's values (group size = events/type/day — bounded); at 100 TB
+    swap in percentile_approx (t-digest, map-combinable) when the
+    contract allows, as ``semi_percentile_approx`` demonstrates.
+    Interpolation parity with quantile_cont is pinned by
+    ``agg_percentile_exact``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("percentile(value, 0.5D)").alias("p50"),
+            F.expr("percentile(value, 0.95D)").alias("p95"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "p50",
+            "p95",
+        )
+    )
+
+
+# Recall audit composes the two dedup oracles verbatim — candidate
+# generation (MinHash band collisions) scored against the exact
+# df-capped Jaccard ground truth.  Both oracle strings are WITH-queries
+# (DuckDB accepts them as FROM-subqueries) and live in OTHER modules, so
+# the oracle is built via oracle_builder AFTER the whole registry loads
+# — registration order is the rotating grading window and can never be
+# relied on for cross-oracle references.
+
+
+def _recall_audit_oracle() -> str:
+    from project_fauna_spark.plans.registry import ORACLE
+
+    exact_sql = ORACLE["dedup_ngram_jaccard"]
+    mh_sql = ORACLE["dedup_minhash_md5"]
+    return f"""
+    WITH exact_pairs AS (SELECT doc_a, doc_b FROM ({exact_sql}) x),
+    cand_pairs AS (SELECT DISTINCT doc_a, doc_b FROM ({mh_sql}) m)
+    SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+           (SELECT COUNT(*) FROM cand_pairs) AS n_candidates,
+           (SELECT COUNT(*) FROM exact_pairs e
+             JOIN cand_pairs c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+             AS n_exact_found,
+           CAST((SELECT COUNT(*) FROM exact_pairs e
+                  JOIN cand_pairs c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+                AS DOUBLE)
+             / (SELECT COUNT(*) FROM exact_pairs) AS recall
+    """
+
+
+@register(
+    "dedup_minhash_recall_audit",
+    oracle_builder=_recall_audit_oracle,
+)
+def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning audit: what fraction of the exact near-dup pairs does
+    the MinHash band index actually surface as candidates?  This is the
+    measurement loop behind choosing (n_perm, band_size) — run it on a
+    sample whenever the corpus distribution shifts; recall < target
+    means more bands (or the exact tier) are needed.
+
+    Reuses both production plans via lazy imports (no import cycle):
+    the exact side is the df-capped Jaccard join, the candidate side
+    the band-collision index.  Three scalar counts cross-joined into
+    one row — output size is constant at any corpus scale.
+    """
+    from project_fauna_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from project_fauna_spark.operators.extras3 import dedup_minhash_md5
+
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_md5(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    found = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_exact_found")
+    )
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(found)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_exact_found",
+            (F.col("n_exact_found").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )

@@ -51,4 +51,11 @@ import project_fauna_spark.operators.udf_surface  # noqa: F401,E402
 import project_fauna_spark.operators.reference_queries  # noqa: F401,E402
 import project_fauna_spark.operators.relational  # noqa: F401,E402
 
+# Oracles that compose OTHER queries' oracle text build last — module
+# order is the rotating grading window, so cross-oracle references can
+# never rely on registration order.
+from project_fauna_spark.plans.registry import resolve_deferred_oracles  # noqa: E402
+
+resolve_deferred_oracles()
+
 __all__ = ["QUERIES", "ORACLE", "register"]

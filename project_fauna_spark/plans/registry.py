@@ -28,10 +28,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+_DEFERRED_ORACLES: dict[str, Callable[[], str]] = {}
 
 
-def register(name: str, oracle: Optional[str] = None):
-    """Decorator: add a named query (and optional DuckDB oracle SQL)."""
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    oracle_builder: Optional[Callable[[], str]] = None,
+):
+    """Decorator: add a named query (and optional DuckDB oracle SQL).
+
+    ``oracle_builder`` defers oracle construction until EVERY operator
+    module has registered (``resolve_deferred_oracles`` runs at the end
+    of ``plans/__init__``).  Use it when an oracle composes another
+    query's oracle text: registration order is the driver's grading
+    window and rotates between rounds, so "the other oracle is already
+    in ORACLE at my import time" is never a safe assumption.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -39,9 +52,18 @@ def register(name: str, oracle: Optional[str] = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if oracle_builder is not None:
+            _DEFERRED_ORACLES[name] = oracle_builder
         return fn
 
     return deco
+
+
+def resolve_deferred_oracles() -> None:
+    """Materialize oracle_builder oracles (called once, post-import)."""
+    for name, build in _DEFERRED_ORACLES.items():
+        ORACLE[name] = build()
+    _DEFERRED_ORACLES.clear()
 
 
 def dsum(col: Column, precision: int = 30, scale: int = 8) -> Column:
