@@ -70,9 +70,21 @@ def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    toks = _tokenized(spark, sf_dir)
-    cv = CountVectorizer(inputCol="tokens", outputCol="features", binary=True, vocabSize=1 << 12)
-    feats = cv.fit(toks).transform(toks).filter(F.expr("size(tokens) > 0"))
+    from project_fauna_spark.functions.shingles import shingles
+
+    # Shingle sets, NOT word sets: word-level Jaccard ≥ 0.5 is so common
+    # across same-domain documents that the pair output grows
+    # QUADRATICALLY with the corpus (measured: 8.6M pairs at sf0.1 —
+    # unusable at any scale).  3-gram shingles match the exact primary
+    # (dedup_ngram_jaccard / dedup_minhash_lsh), where 0.5 is a
+    # near-duplicate threshold and the output stays corpus-linear.
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("tokens")
+    )
+    cv = CountVectorizer(
+        inputCol="tokens", outputCol="features", binary=True, vocabSize=1 << 15
+    )
+    feats = cv.fit(d).transform(d).filter(F.expr("size(tokens) > 0"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
