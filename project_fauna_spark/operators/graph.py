@@ -140,3 +140,121 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH dedges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM dedges GROUP BY 1, 2
+    )
+    SELECT e1.a AS node_a, e1.b AS node_b, e2.b AS node_c
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the undirected nation trade graph —
+    the clustering-coefficient primitive (community density, spam-ring
+    detection on transaction graphs).
+
+    Canonical ordered-edge join: undirected edges normalized to
+    (min, max), triangles found as a < b < c wedge-close joins — each
+    triangle emitted exactly once, no post-hoc dedup.  At 100 TB the
+    same two hash joins apply with degree-ordered orientation (orient
+    edges low-degree → high-degree) to bound wedge fan-out on skewed
+    graphs; the nation graph here is keyspace-sized but the plan is
+    the general one.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    und = cached(und)
+    e1 = und.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+    e2 = und.select(F.col("a").alias("w_b"), F.col("b").alias("node_c"))
+    e3 = und.select(F.col("a").alias("c_a"), F.col("b").alias("c_b"))
+    return (
+        e1.join(e2, e1.node_b == e2.w_b)
+        .join(e3, (F.col("c_a") == F.col("node_a")) & (F.col("c_b") == F.col("node_c")))
+        .select("node_a", "node_b", "node_c")
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH dedges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(SUM(outd) AS BIGINT) AS out_degree,
+             CAST(SUM(ind) AS BIGINT) AS in_degree
+      FROM (
+        SELECT src AS node, 1 AS outd, 0 AS ind FROM dedges
+        UNION ALL
+        SELECT dst AS node, 0 AS outd, 1 AS ind FROM dedges
+      ) GROUP BY node
+    )
+    SELECT node, out_degree, in_degree, out_degree + in_degree AS total_degree
+    FROM deg
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree over the directed trade graph — the first
+    diagnostic on any graph workload (skew here predicts hot keys in
+    every downstream join; the degree-ordered orientation that
+    ``graph_triangle_count`` cites reads exactly this table).
+
+    One union + map-combined aggregate keyed by node — no joins at all.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    both = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("outd"), F.lit(0).alias("ind")
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.lit(0).alias("outd"), F.lit(1).alias("ind"))
+    )
+    return both.groupBy("node").agg(
+        F.sum("outd").cast("long").alias("out_degree"),
+        F.sum("ind").cast("long").alias("in_degree"),
+        (F.sum("outd") + F.sum("ind")).cast("long").alias("total_degree"),
+    )

@@ -335,3 +335,59 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 2)
         .distinct()
     )
+
+
+@register(
+    "layout_partition_size_audit",
+    oracle="""
+    WITH p AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY lang, source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+                 CAST(SUM(total_bytes) AS BIGINT) AS all_bytes,
+                 COUNT(*) AS n_parts FROM p)
+    SELECT p.lang, p.source, CAST(p.n_docs AS BIGINT) AS n_docs, p.total_bytes,
+           CAST(p.total_bytes AS DOUBLE) / t.all_bytes AS byte_share,
+           CAST(p.total_bytes AS DOUBLE) / (CAST(t.all_bytes AS DOUBLE) / t.n_parts)
+             AS skew_vs_even
+    FROM p, t
+    """,
+)
+def layout_partition_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout audit for a (lang, source) partitioning scheme:
+    docs and bytes per would-be partition, byte share, and skew versus
+    a perfectly even layout — the numbers that decide whether a
+    partition column is usable (a skew_vs_even of 50× means one
+    partition becomes the straggler on every scan).
+
+    One map-combined aggregate to the partition keyspace + a 1-row
+    broadcast of the totals; byte math is exact integers with two
+    double divisions at the edge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nb = F.length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    p = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(nb).cast("long").alias("total_bytes"),
+    )
+    t = p.agg(
+        F.sum("total_bytes").cast("long").alias("all_bytes"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        p.join(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_bytes",
+            (F.col("total_bytes").cast("double") / F.col("all_bytes")).alias("byte_share"),
+            (
+                F.col("total_bytes").cast("double")
+                / (F.col("all_bytes").cast("double") / F.col("n_parts"))
+            ).alias("skew_vs_even"),
+        )
+    )
