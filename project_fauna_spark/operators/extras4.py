@@ -894,3 +894,66 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_exact_found").cast("double") / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+def _calibration_oracle() -> str:
+    from project_fauna_spark.plans.registry import ORACLE, sql_davg
+
+    cls_sql = ORACLE["llm_quality_classifier"]
+    return f"""
+    WITH cls AS (SELECT * FROM ({cls_sql}) _c),
+    b AS (
+      SELECT CAST(floor(score * 10) AS INT) AS score_bin,
+             n_words >= 50 AS gate, keep, score
+      FROM cls
+    )
+    SELECT score_bin,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE gate) AS BIGINT) AS n_gate_pass,
+           CAST(COUNT(*) FILTER (WHERE gate) AS DOUBLE) / COUNT(*) AS gate_pass_rate,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+           {sql_davg('score', 30, 12)} AS avg_score
+    FROM b GROUP BY score_bin
+    """
+
+
+@register(
+    "llm_classifier_calibration",
+    oracle_builder=_calibration_oracle,
+)
+def llm_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the linear quality classifier: per
+    0.1-wide score bin, how often does an independent gate (the
+    corpus-clean ≥50-token rule) agree?  A classifier whose pass rate
+    doesn't rise monotonically with its own score is mis-calibrated —
+    this is the audit run before trusting any cheap model-based filter
+    with corpus-wide keep/drop power.
+
+    Builds on the classifier's own output plan (lazy import; oracle
+    composed via oracle_builder so rotation can't stale the reference).
+    Scores are per-row IEEE doubles identical in both engines, so the
+    bin = floor(score·10) assignment is deterministic; the per-bin mean
+    score is decimal-accumulated (order-independent).  One
+    map-combined aggregate to ~|bins| rows.
+    """
+    from project_fauna_spark.operators.llm_extras import llm_quality_classifier
+
+    cls = llm_quality_classifier(spark, sf_dir)
+    b = cls.select(
+        F.floor(F.col("score") * 10).cast("int").alias("score_bin"),
+        (F.col("n_words") >= 50).alias("gate"),
+        "keep",
+        "score",
+    )
+    return b.groupBy("score_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("gate"), 1)).alias("n_gate_pass"),
+        (
+            F.count(F.when(F.col("gate"), 1)).cast("double") / F.count("*")
+        ).alias("gate_pass_rate"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+        (
+            F.sum(F.col("score").cast("decimal(30,12)")).cast("double")
+            / F.count("score")
+        ).alias("avg_score"),
+    )
