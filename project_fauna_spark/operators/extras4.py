@@ -957,3 +957,76 @@ def llm_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("score")
         ).alias("avg_score"),
     )
+
+
+@register(
+    "dq_fact_consistency_audit",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey,
+             SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS VARCHAR)
+                      AS DECIMAL(30,8))) AS recomputed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS VARCHAR) AS DECIMAL(30,8)) AS stored,
+             r.recomputed
+      FROM orders o JOIN r ON r.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+      SELECT o_orderkey,
+             CAST(CAST(abs(stored - recomputed) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(stored AS VARCHAR) AS DOUBLE) AS rel_err,
+             abs(stored - recomputed) AS abs_diff
+      FROM j
+    )
+    SELECT CASE WHEN rel_err = 0 THEN 'exact'
+                WHEN rel_err < 0.01 THEN 'lt_1pct'
+                WHEN rel_err < 0.10 THEN 'lt_10pct'
+                WHEN rel_err < 0.50 THEN 'lt_50pct'
+                ELSE 'ge_50pct' END AS err_band,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(abs_diff) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_abs_diff
+    FROM e GROUP BY 1
+    """,
+)
+def dq_fact_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table fact consistency: the order header's stored total
+    versus the total recomputed from its line items, bucketed by
+    relative error — the reconciliation audit that catches silent
+    drift between a denormalized rollup and its source of truth
+    (here it reports the synthetic data's totals are generated
+    independently — exactly what the audit exists to surface).
+
+    The recompute is a decimal-exact map-combined aggregate per order;
+    the header join shuffles on orderkey once; error banding is per-row
+    on engine-identical doubles.  Output is |bands| rows at any scale.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    line_total = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(30,8)")
+    r = l.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(line_total).alias("recomputed")
+    )
+    j = o.join(r, "o_orderkey").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(30,8)").alias("stored"),
+        "recomputed",
+    )
+    abs_diff = F.abs(F.col("stored") - F.col("recomputed"))
+    rel_err = abs_diff.cast("double") / F.col("stored").cast("double")
+    e = j.select("o_orderkey", rel_err.alias("rel_err"), abs_diff.alias("abs_diff"))
+    band = (
+        F.when(F.col("rel_err") == 0, "exact")
+        .when(F.col("rel_err") < 0.01, "lt_1pct")
+        .when(F.col("rel_err") < 0.10, "lt_10pct")
+        .when(F.col("rel_err") < 0.50, "lt_50pct")
+        .otherwise("ge_50pct")
+    )
+    return e.groupBy(band.alias("err_band")).agg(
+        F.count("*").alias("n_orders"),
+        (F.sum("abs_diff").cast("double") / F.count("*")).alias("avg_abs_diff"),
+    )
