@@ -1030,3 +1030,97 @@ def dq_fact_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         (F.sum("abs_diff").cast("double") / F.count("*")).alias("avg_abs_diff"),
     )
+
+
+@register(
+    "ingest_partitioned_pruning",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang IN ('en', 'de')
+    """,
+)
+def ingest_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write → pruned read: documents written
+    ``partitionBy(lang)``, then read back with a partition-column
+    filter — the layout that turns a lang-sliced scan from full-corpus
+    I/O into touching exactly the matching directories (PartitionFilters
+    in the scan node, pinned by test_round4_properties).
+
+    At 100 TB the partitioned write is the difference between a
+    language slice costing |corpus| and costing |slice|; writer-side,
+    ``partitionBy`` shuffles nothing by itself (each task writes its
+    partitions' files — pair with a repartition(lang) upstream when
+    low-cardinality output files matter).
+    """
+    import os
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"fauna_part_lang_{key}")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    # lang comes back as the partition directory column; re-select to
+    # pin column order and types to the oracle.
+    return back.select("doc_id", F.col("lang").cast("string").alias("lang"), "n_chars")
+
+
+def _near_dup_rate_oracle() -> str:
+    from project_fauna_spark.plans.registry import ORACLE
+
+    pairs_sql = ORACLE["dedup_ngram_jaccard"]
+    return f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p),
+    involved AS (
+      SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE i.doc_id IS NOT NULL) AS BIGINT)
+             AS n_near_dup,
+           CAST(COUNT(*) FILTER (WHERE i.doc_id IS NOT NULL) AS DOUBLE)
+             / COUNT(*) AS near_dup_rate
+    FROM documents d LEFT JOIN involved i ON i.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@register(
+    "llm_near_dup_rate_by_source",
+    oracle_builder=_near_dup_rate_oracle,
+)
+def llm_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate per ingestion source: which feeds are
+    polluting the corpus with near-copies?  This is the slice every
+    curation dashboard leads with — the dedup pipeline's output joined
+    back to provenance.
+
+    The pair set is corpus-linear (df-capped candidates, verified
+    pairs); involved doc ids are a tiny broadcast against the
+    documents scan, and the rollup is one map-combined aggregate per
+    source.  Oracle composed from the Jaccard oracle via
+    oracle_builder (rotation-safe).
+    """
+    from project_fauna_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    involved = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("_nd"))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(F.broadcast(involved), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("_nd"), 1)).alias("n_near_dup"),
+            (
+                F.count(F.when(F.col("_nd"), 1)).cast("double") / F.count("*")
+            ).alias("near_dup_rate"),
+        )
+    )

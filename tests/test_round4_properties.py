@@ -129,3 +129,14 @@ def test_no_complex_types_at_graded_edges(spark):
         if bad:
             flagged[name] = bad
     assert not flagged, flagged
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """The lang filter must land in PartitionFilters (directory pruning),
+    not as a post-scan data filter."""
+    plan = _plan(spark, "ingest_partitioned_pruning")
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]
