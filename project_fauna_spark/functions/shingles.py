@@ -69,6 +69,15 @@ def word_bigrams(text: Column) -> Column:
 # self-join, so one stop-phrase gram dominates the stage at 100 TB.
 # K=100 is ~4× the hottest shingle at sf0.1 — inert at graded scale,
 # engaged only on true stop-phrases (SCALING.md §hot-shingle-cap).
+#
+# Collision assumption (ADVICE r4): Spark computes df over 64-bit
+# xxhash64 shingle hashes while oracles count shingle strings; a 64-bit
+# collision merging two shingles' counts could push a df past K on the
+# Spark side only.  P(any collision) ≈ m²/2^65 for m distinct shingles
+# — ~3e-12 at sf0.1 (m≈1e4) and still ~3e-4 at 1e8 distinct shingles —
+# and a collision only matters if the merged count straddles the K
+# boundary.  Accepted as an engine/oracle tolerance; at true 100 TB
+# scale the oracle side doesn't exist and the cap is heuristic anyway.
 MAX_SHINGLE_DF = 100
 
 

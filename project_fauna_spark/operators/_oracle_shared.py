@@ -81,10 +81,13 @@ SQL_SHINGLES = """
 """
 
 # Per-doc df-capped (rare) shingle lists; assumes a prior CTE named
-# ``sh(doc_id, sgl)``; yields ``rare(doc_id, rsgl)``.  K mirrors
-# functions.shingles.MAX_SHINGLE_DF (kept literal so oracle strings
-# never import Spark-side modules).
-SQL_RARE_SHINGLES = """
+# ``sh(doc_id, sgl)``; yields ``rare(doc_id, rsgl)``.  K is interpolated
+# from functions.shingles.MAX_SHINGLE_DF so the Spark cap and every
+# oracle literal can never drift (ADVICE r4); functions.shingles is
+# non-registering, so the import is registry-order-safe.
+from project_fauna_spark.functions.shingles import MAX_SHINGLE_DF  # noqa: E402
+
+SQL_RARE_SHINGLES = f"""
     hdf AS (
       SELECT h, COUNT(*) AS c
       FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) GROUP BY h
@@ -95,7 +98,7 @@ SQL_RARE_SHINGLES = """
       FROM sh s
       LEFT JOIN (
         SELECT doc_id, h FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) x
-        JOIN hdf USING (h) WHERE hdf.c <= 100
+        JOIN hdf USING (h) WHERE hdf.c <= {MAX_SHINGLE_DF}
       ) e ON e.doc_id = s.doc_id
       GROUP BY s.doc_id
     )

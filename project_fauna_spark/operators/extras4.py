@@ -54,6 +54,7 @@ from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import (
     SQL_CC_COMPONENTS,
     SQL_COS,
+    SQL_RARE_SHINGLES as _SQL_RARE_SHINGLES,
     SQL_SHINGLES as _SQL_SHINGLES,
 )
 from project_fauna_spark.plans.registry import register
@@ -432,20 +433,7 @@ def sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for i in range(1, len(ws) - 1)]) AS sgl
       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM exact_kept)
     ),
-    hdf AS (
-      SELECT h, COUNT(*) AS c
-      FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) GROUP BY h
-    ),
-    rare AS (
-      SELECT s.doc_id,
-             COALESCE(list(e.h) FILTER (WHERE e.h IS NOT NULL), []) AS rsgl
-      FROM sh s
-      LEFT JOIN (
-        SELECT doc_id, h FROM (SELECT doc_id, unnest(sgl) AS h FROM sh) x
-        JOIN hdf USING (h) WHERE hdf.c <= 100
-      ) e ON e.doc_id = s.doc_id
-      GROUP BY s.doc_id
-    ),
+    {_SQL_RARE_SHINGLES},
     neardup_b AS (
       SELECT DISTINCT b.doc_id
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -849,10 +837,12 @@ def _recall_audit_oracle() -> str:
            (SELECT COUNT(*) FROM exact_pairs e
              JOIN cand_pairs c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
              AS n_exact_found,
-           CAST((SELECT COUNT(*) FROM exact_pairs e
-                  JOIN cand_pairs c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
-                AS DOUBLE)
-             / (SELECT COUNT(*) FROM exact_pairs) AS recall
+           CASE WHEN (SELECT COUNT(*) FROM exact_pairs) > 0
+                THEN CAST((SELECT COUNT(*) FROM exact_pairs e
+                            JOIN cand_pairs c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+                          AS DOUBLE)
+                     / (SELECT COUNT(*) FROM exact_pairs)
+                ELSE NULL END AS recall
     """
 
 
@@ -891,7 +881,15 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_candidates",
             "n_exact_found",
-            (F.col("n_exact_found").cast("double") / F.col("n_exact")).alias("recall"),
+            # Zero guard: ANSI Spark throws DIVIDE_BY_ZERO where DuckDB
+            # yields NULL; a regenerated corpus with zero exact pairs
+            # must produce NULL on both sides (ADVICE r4).
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("n_exact_found").cast("double") / F.col("n_exact"),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("recall"),
         )
     )
 
@@ -1055,8 +1053,13 @@ def ingest_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    # Path is keyed by (sf_dir, Spark application id): two concurrent
+    # sessions on the same testdata (pytest + foreign-session sweep)
+    # must never overwrite a directory the other is mid-read (ADVICE
+    # r4); same-session re-runs still reuse/overwrite their own copy.
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"fauna_part_lang_{key}")
+    app_id = spark.sparkContext.applicationId
+    out = os.path.join(tempfile.gettempdir(), f"fauna_part_lang_{key}_{app_id}")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", "lang"
     )

@@ -106,13 +106,18 @@ FRAME_SCHEMA = T.StructType(
     # (64 px × 24-bit), zero-padding the last row; each sampled row's
     # mean luminance is (Σ row bytes)/192/255, the padded zeros adding
     # nothing.  Same float-op order as numpy (row mean, then /255);
-    # payloads are ASCII, so unicode(char) == byte value.
+    # payloads are ASCII, so unicode(char) == byte value; the WHERE
+    # enforces that assumption symmetrically (Spark side filters
+    # length==octet_length too), so a regenerated corpus containing
+    # non-ASCII text drops those docs on BOTH sides instead of
+    # silently diverging byte offsets (ADVICE r4).
     oracle="""
     WITH b AS (
       SELECT doc_id, text, length(text) AS n,
              GREATEST(1, CAST(ceil(octet_length(encode(text)) / 192.0) AS BIGINT))
                AS height
       FROM documents
+      WHERE octet_length(encode(text)) = length(text)
     )
     SELECT b.doc_id,
            g.idx AS frame_idx,
@@ -147,7 +152,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    p = (
+        _payloads(spark, sf_dir)
+        .filter(F.length("text") == F.octet_length("text"))
+        .select("doc_id", "payload")
+    )
 
     bmp_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
@@ -256,8 +265,11 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     # (Σ pixel bytes)/(192·height)/255 — the padded zero bytes add
     # nothing to the sum, partial sums of ints are exact in float64, and
     # both engines perform the same two divisions in the same order
-    # (numpy: mean first, then /255).  Payloads are ASCII (asserted by
-    # mm_binary_meta's sha256 parity), so unicode(char) == byte value.
+    # (numpy: mean first, then /255).  Payloads are assumed ASCII, so
+    # unicode(char) == byte value; the WHERE enforces the assumption
+    # symmetrically with the Spark side's length==octet_length filter,
+    # so non-ASCII docs in a regenerated corpus drop on BOTH sides
+    # instead of silently diverging (ADVICE r4).
     oracle="""
     WITH b AS (
       SELECT d.doc_id,
@@ -265,6 +277,7 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
              (SELECT COALESCE(CAST(SUM(unicode(substring(d.text, CAST(g.i AS INT), 1))) AS BIGINT), 0)
               FROM (SELECT unnest(range(1, length(d.text)+1)) AS i) g) AS byte_sum
       FROM documents d
+      WHERE octet_length(encode(d.text)) = length(d.text)
     )
     SELECT doc_id,
            64 AS width,
@@ -287,7 +300,11 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine codec work end-to-end with only the stdlib — no
     deterministic-fake asterisk.
     """
-    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    p = (
+        _payloads(spark, sf_dir)
+        .filter(F.length("text") == F.octet_length("text"))
+        .select("doc_id", "payload")
+    )
 
     bmp_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
