@@ -28,12 +28,30 @@ def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Tokenizer(inputCol="text", outputCol="tokens").transform(d)
 
 
-@register("ml_tfidf_pipeline")  # VectorUDT hashing → rows-only check
+@register(
+    "ml_tfidf_pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           TRUE AS bucket_in_range,
+           TRUE AS score_nonneg
+    FROM documents
+    """,
+)
 def ml_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer → HashingTF → IDF; top TF-IDF bucket per doc.
 
     The ml.feature twin of text_tfidf_topk (which is the exact,
     oracled implementation).
+
+    Graded edge (bound-style): HashingTF's murmur bucket ids are
+    Spark-specific, so the edge carries the exact per-doc token count
+    (Tokenizer's whitespace split, recomputed by DuckDB) plus two
+    honestly-computed invariants the oracle emits as literal TRUE: the
+    argmax bucket lies in [-1, 1024) and the top TF-IDF score is
+    non-negative (IDF weights are ≥ 0 by construction).  A pipeline
+    regression (bucket overflow, negative IDF, tokenizer drift) flips
+    a value and hash-fails.
     """
     from pyspark.ml.feature import IDF, HashingTF
     from pyspark.ml.functions import vector_to_array
@@ -49,24 +67,48 @@ def ml_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors, with zero rows leaving the JVM.
     arr = vector_to_array(F.col("tfidf"))
     mx = F.array_max(arr)
-    out = scored.select(
-        "doc_id",
-        F.size("tokens").cast("long").alias("n_tokens"),
+    bucket = (
         F.when(mx > 0.0, (F.array_position(arr, mx) - 1).cast("int"))
         .otherwise(F.lit(-1))
-        .alias("bucket"),
-        F.when(mx > 0.0, mx).otherwise(F.lit(0.0)).alias("score"),
     )
-    return out
+    score = F.when(mx > 0.0, mx).otherwise(F.lit(0.0))
+    return scored.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        ((bucket >= -1) & (bucket < (1 << 10))).alias("bucket_in_range"),
+        (score >= 0.0).alias("score_nonneg"),
+    )
 
 
-@register("ml_minhash_lsh")  # seeded sketch → rows-only check
+def _ml_minhash_bound_oracle() -> str:
+    from project_fauna_spark.plans.registry import ORACLE
+
+    truth_sql = ORACLE["dedup_ngram_jaccard"]
+    return f"""
+    SELECT CAST((SELECT COUNT(*) FROM ({truth_sql}) t WHERE t.jaccard > 0.5)
+                AS BIGINT) AS n_true_pairs,
+           TRUE AS pairs_within_threshold,
+           TRUE AS recall_ge_half
+    """
+
+
+@register("ml_minhash_lsh", oracle_builder=_ml_minhash_bound_oracle)
 def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ml.feature.MinHashLSH near-dup pairs over hashed-token sets.
 
     The ml twin of dedup_minhash_lsh (the expression-level primary);
     approxSimilarityJoin does the band-bucket candidate join
     internally.
+
+    Graded edge (bound-style): MinHashLSH's seeded hash families are
+    Spark-specific, so the edge carries the exact count of strict
+    (Jaccard > 0.5, matching approxSimilarityJoin's strict distance
+    cut) ground-truth pairs — DuckDB recomputes it from the shared
+    df-capped truth SQL — plus two honestly-computed booleans emitted
+    as literal TRUE by the oracle: all returned pairs sit within the
+    distance threshold, and recall against the exact truth is ≥ 0.5
+    (measured 1.0 at sf0.01 AND sf0.1, expected ≈1-(1-j)^8 ≥ 0.996
+    for j ≥ 0.5 with 8 OR-ed tables).
     """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
@@ -88,7 +130,7 @@ def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
+    returned = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
@@ -97,27 +139,142 @@ def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Bound-style edge vs the exact df-capped truth (strict > 0.5 to
+    # mirror approxSimilarityJoin's strict dist < threshold cut).
+    from project_fauna_spark.operators.dedup import dedup_ngram_jaccard
 
-@register("ml_brp_lsh_neighbors")  # seeded planes → rows-only check
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") > 0.5)
+        .select("doc_a", "doc_b")
+    )
+    n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
+    within = returned.agg(
+        F.coalesce(F.min(F.col("jaccard_dist") <= 0.5), F.lit(True)).alias(
+            "pairs_within_threshold"
+        )
+    )
+    n_found = returned.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_found")
+    )
+    return (
+        n_truth.crossJoin(within)
+        .crossJoin(n_found)
+        .select(
+            "n_true_pairs",
+            "pairs_within_threshold",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_found").cast("double") / F.col("n_true_pairs") >= 0.5,
+            )
+            .otherwise(F.lit(True))
+            .alias("recall_ge_half"),
+        )
+    )
+
+
+@register(
+    "ml_brp_lsh_neighbors",
+    # Exact truth restricted to the 200 probe vectors: both engines
+    # compute the identical index-ordered double fold (the SQL_COS
+    # convention — 0.0+a is IEEE-exact, so Spark's aggregate(0.0,+)
+    # and DuckDB's seedless list_reduce produce bit-identical sums).
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS qa, emb AS qemb FROM e WHERE vec_id < 200),
+    p AS (
+      SELECT q.qa, e.vec_id AS vb,
+             sqrt(list_reduce(list_transform(range(1, len(q.qemb)+1),
+                  k -> (q.qemb[k] - e.emb[k]) * (q.qemb[k] - e.emb[k])),
+                  (s,v) -> s+v)) AS d
+      FROM q JOIN e ON e.vec_id > q.qa
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE d < 1.2) AS BIGINT) AS n_true_pairs,
+           TRUE AS pairs_within_threshold,
+           TRUE AS recall_ge_0_7
+    FROM p
+    """,
+)
 def ml_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH approximate neighbors over the
-    embeddings table (the ml twin of sim_ann_lsh_bucketed)."""
+    embeddings table (the ml twin of sim_ann_lsh_bucketed).
+
+    Graded edge (bound-style): the random projection planes are seeded
+    Spark draws, so the edge carries the exact count of true
+    L2 < 1.2 pairs anchored at the 200 probe vectors (a bounded
+    broadcast-side truth both engines replay bit-identically) plus two
+    honestly-computed booleans emitted as literal TRUE by the oracle:
+    every returned pair's exact distance respects the threshold, and
+    probe-anchored recall is ≥ 0.7 (measured 0.973 at sf0.01, 0.975 at
+    sf0.1 with 4 OR-ed tables at bucketLength 2.0).
+
+    Scale: the probe set is fixed-size, so the truth join is a
+    broadcast nested loop over 200 rows — bounded at any corpus size;
+    the LSH join itself shuffles by bucket only.
+    """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding")).alias("features")
-    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(e)
     pairs = model.approxSimilarityJoin(e, e, 1.2, distCol="l2_dist")
-    return (
+    returned = (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
             F.col("datasetA.vec_id").alias("vec_a"),
             F.col("datasetB.vec_id").alias("vec_b"),
             F.col("l2_dist"),
+        )
+    )
+
+    # Probe-anchored exact truth (same fold order as the oracle).
+    q = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("qa"), F.col("embedding").alias("qemb")
+    )
+    j = emb.join(F.broadcast(q), F.col("vec_id") > F.col("qa"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("qemb"),
+                F.col("embedding"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    truth = (
+        j.select(F.col("qa").alias("vec_a"), F.col("vec_id").alias("vec_b"), dist.alias("d"))
+        .filter(F.col("d") < 1.2)
+        .select("vec_a", "vec_b")
+    )
+    n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
+    within = returned.agg(
+        F.coalesce(F.min(F.col("l2_dist") <= 1.2), F.lit(True)).alias(
+            "pairs_within_threshold"
+        )
+    )
+    n_found = returned.join(truth, ["vec_a", "vec_b"]).agg(
+        F.count("*").alias("n_found")
+    )
+    return (
+        n_truth.crossJoin(within)
+        .crossJoin(n_found)
+        .select(
+            "n_true_pairs",
+            "pairs_within_threshold",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_found").cast("double") / F.col("n_true_pairs") >= 0.7,
+            )
+            .otherwise(F.lit(True))
+            .alias("recall_ge_0_7"),
         )
     )

@@ -87,19 +87,13 @@ def test_registry_consistency():
 
     assert set(ORACLE) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLE)
-    expected_rows_only = {
-        # xxhash64/murmur sketches: Spark-deterministic, not SQL-portable
-        "dedup_minhash_lsh",
-        "dedup_simhash64",
-        "text_hashed_tf",
-        # (mm_decode_features graduated to an exact oracle in round 4:
-        # the BMP round-trip is deterministic byte math DuckDB replays)
-        # spark.ml twins of the exact oracled implementations
-        "ml_tfidf_pipeline",
-        "ml_minhash_lsh",
-        "ml_brp_lsh_neighbors",
-    }
-    assert rows_only == expected_rows_only, rows_only ^ expected_rows_only
+    # Round 5: the last six hash/sketch queries received bound-style
+    # oracles (exact deterministic values + honestly-computed quality
+    # booleans the oracle emits as literal TRUE — the
+    # agg_hll_sketch_merge pattern), so EVERY registered query now has
+    # a DuckDB oracle.  A new unoracled query must be a deliberate
+    # choice, not a typo.
+    assert rows_only == set(), rows_only
 
 
 def test_query_names_are_stable_identifiers():
