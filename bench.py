@@ -71,6 +71,11 @@ HEADLINE = [
     "ml_training_snapshot_asof",
     "llm_dedup_survivorship_report",
     "mm_frame_sample",
+    # round 5 additions (baselines recorded in BASELINE.md same day)
+    "join_bucketed_colocate",
+    "ml_pca_covariance",
+    "llm_unigram_lm_score",
+    "graph_common_neighbors",
 ]
 
 

@@ -331,3 +331,262 @@ def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_rank_in_band"),
         )
     )
+
+
+@register(
+    "llm_domain_mixture_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS n_langs
+            FROM per_lang)
+    SELECT lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot) AS actual_share,
+           CAST((SELECT t FROM tot) AS DOUBLE)
+             / ((SELECT n_langs FROM tot) * n_tokens) AS sampling_weight
+    FROM per_lang
+    """,
+)
+def llm_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-language token shares and the sampling
+    weight that rebalances the corpus to a uniform language mixture —
+    the number a training-data loader multiplies into per-domain
+    sampling probabilities (the DoReMi/uniform-mixture baseline).
+
+    Token counts are exact longs aggregated map-combined; the compared
+    edge is two deterministic double ratios per language.  At 100 TB
+    this is one narrow scan + a language-keyed aggregate (dozens of
+    groups), shuffling one row per language.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        d.select("lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("n_langs")
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t")).alias("actual_share"),
+        (
+            F.col("t").cast("double") / (F.col("n_langs") * F.col("n_tokens"))
+        ).alias("sampling_weight"),
+    )
+
+
+_TARGET_FILE_BYTES = 128 * 1024 * 1024  # compaction target: 128 MiB files
+_EST_ROW_BYTES = 128  # deterministic per-row size estimate for the plan
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) * {_EST_ROW_BYTES} AS BIGINT) AS est_bytes,
+           CAST(GREATEST(1, CAST(ceil(COUNT(*) * {_EST_ROW_BYTES}
+               / CAST({_TARGET_FILE_BYTES} AS DOUBLE)) AS BIGINT)) AS BIGINT)
+             AS target_files,
+           CAST(ceil(COUNT(*) / CAST(GREATEST(1, CAST(ceil(COUNT(*) * {_EST_ROW_BYTES}
+               / CAST({_TARGET_FILE_BYTES} AS DOUBLE)) AS BIGINT)) AS DOUBLE))
+               AS BIGINT) AS rows_per_file
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: per ship-month partition, the
+    row count, estimated bytes, and the file count/size that hits the
+    128 MiB target — the maintenance job every large parquet lake runs
+    (OPTIMIZE/rewriteDataFiles produce exactly this plan before moving
+    bytes).
+
+    One map-combined aggregate over the partition column; integer
+    math end-to-end (the single double division feeds a ceil), so the
+    plan is bit-identical across engines.  At 100 TB the planner scans
+    footer statistics, not data — this models the decision layer.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate")
+    per_month = li.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month")
+    ).agg(F.count("*").alias("n_rows"))
+    est_bytes = F.col("n_rows") * _EST_ROW_BYTES
+    target_files = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(est_bytes / F.lit(float(_TARGET_FILE_BYTES))),
+    )
+    return per_month.select(
+        "ship_month",
+        "n_rows",
+        est_bytes.cast("long").alias("est_bytes"),
+        target_files.cast("long").alias("target_files"),
+        F.ceil(F.col("n_rows") / target_files.cast("double"))
+        .cast("long")
+        .alias("rows_per_file"),
+    )
+
+
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'a' ELSE 'b' END AS half
+      FROM events
+    ),
+    tot AS (
+      SELECT COUNT(*) FILTER (WHERE half = 'a') AS ta,
+             COUNT(*) FILTER (WHERE half = 'b') AS tb
+      FROM halves
+    ),
+    bins AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE half = 'a') AS n_a,
+             COUNT(*) FILTER (WHERE half = 'b') AS n_b
+      FROM halves GROUP BY bin
+    )
+    SELECT bin, n_a, n_b,
+           CAST(n_a AS DOUBLE) / (SELECT ta FROM tot) AS p_a,
+           CAST(n_b AS DOUBLE) / (SELECT tb FROM tot) AS p_b,
+           (CAST(n_a AS DOUBLE) / (SELECT ta FROM tot)
+            - CAST(n_b AS DOUBLE) / (SELECT tb FROM tot))
+           * (CAST(n_a AS DOUBLE) / (SELECT ta FROM tot)
+              - CAST(n_b AS DOUBLE) / (SELECT tb FROM tot))
+           / (CAST(n_a AS DOUBLE) / (SELECT ta FROM tot)
+              + CAST(n_b AS DOUBLE) / (SELECT tb FROM tot)) AS chi2_component
+    FROM bins
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between the first and second half of
+    the event stream: per value-bin counts, shares, and the chi-square
+    drift component — the training-serving-skew / data-shift monitor
+    (PSI's log is libm and banned at compared edges; the chi-square
+    form is algebraically log-free and equally standard).
+
+    One aggregate with conditional counts (no self-join of halves);
+    per-bin doubles are exact integer ratios combined in one
+    deterministic expression.  Bins are fixed-width — at 100 TB the
+    bin map is a stateless projection and the shuffle carries ≤10
+    rows per partition.
+    """
+    e = load_table(spark, sf_dir, "events").select("value", "ts")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "a"
+    ).otherwise("b")
+    halves = e.select(
+        F.floor(F.col("value") / 50).cast("long").alias("bin"), half.alias("half")
+    )
+    halves = cached(halves)
+    tot = halves.agg(
+        F.sum((F.col("half") == "a").cast("long")).alias("ta"),
+        F.sum((F.col("half") == "b").cast("long")).alias("tb"),
+    )
+    bins = halves.groupBy("bin").agg(
+        F.sum((F.col("half") == "a").cast("long")).alias("n_a"),
+        F.sum((F.col("half") == "b").cast("long")).alias("n_b"),
+    )
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        ((pa - pb) * (pa - pb) / (pa + pb)).alias("chi2_component"),
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    adj AS (
+      SELECT src AS node, dst AS nb FROM e0
+      UNION
+      SELECT dst, src FROM e0
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    inter AS (
+      SELECT a.node AS node_a, b.node AS node_b, COUNT(*) AS n_common
+      FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+      GROUP BY a.node, b.node
+    )
+    SELECT node_a, node_b, n_common,
+           CAST(n_common AS DOUBLE) / (da.d + db.d - n_common)
+             AS neighbor_jaccard
+    FROM inter
+    JOIN deg da ON da.node = node_a
+    JOIN deg db ON db.node = node_b
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the nation trade graph: common-neighbor
+    count and neighbor-set Jaccard for every node pair sharing ≥1
+    neighbor — the classic co-occurrence/link-prediction primitive.
+
+    Same inverted-index shape as the shingle dedup: the self-join is
+    EQUI on the shared neighbor (never all-pairs), the shuffle carries
+    int keys, and the pair aggregate is map-combined.  At 100 TB the
+    degree skew cap from the dedup path (drop hub nodes above a df
+    threshold) applies verbatim if the graph has celebrity nodes.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    adj = (
+        e0.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
+        .union(e0.select(F.col("dst").alias("node"), F.col("src").alias("nb")))
+        .distinct()
+    )
+    adj = cached(adj)
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    a = adj.select(F.col("node").alias("node_a"), "nb")
+    b = adj.select(F.col("node").alias("node_b"), "nb")
+    inter = (
+        a.join(b, ["nb"])
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("d").alias("db"))
+    return (
+        inter.join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("neighbor_jaccard"),
+        )
+    )

@@ -116,3 +116,37 @@ def test_bucketed_tables_keyed_by_app_id(spark):
     app_id = spark.sparkContext.applicationId.replace("-", "_")
     hits = [t.name for t in spark.catalog.listTables() if t.name.startswith("b_orders_")]
     assert all(app_id in t for t in hits)
+
+
+def test_mixture_weights_rebalance_exactly(spark):
+    """weight × actual_share must equal the uniform target share."""
+    rows = QUERIES["llm_domain_mixture_weights"](spark, SF).collect()
+    n_langs = len(rows)
+    for r in rows:
+        assert abs(r["sampling_weight"] * r["actual_share"] - 1.0 / n_langs) < 1e-12
+    assert abs(sum(r["actual_share"] for r in rows) - 1.0) < 1e-12
+
+
+def test_compaction_plan_invariants(spark):
+    rows = QUERIES["layout_compaction_plan"](spark, SF).collect()
+    for r in rows:
+        assert r["target_files"] >= 1
+        # files × rows_per_file covers the partition without overshooting
+        # by more than one file's worth
+        assert r["target_files"] * r["rows_per_file"] >= r["n_rows"]
+        assert (r["target_files"] - 1) * r["rows_per_file"] < r["n_rows"]
+
+
+def test_distribution_drift_shares_sum_to_one(spark):
+    rows = QUERIES["dq_distribution_drift"](spark, SF).collect()
+    assert abs(sum(r["p_a"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["p_b"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["chi2_component"] >= 0.0
+
+
+def test_common_neighbors_symmetric_bounds(spark):
+    rows = QUERIES["graph_common_neighbors"](spark, SF).collect()
+    for r in rows:
+        assert r["node_a"] < r["node_b"]
+        assert 0.0 < r["neighbor_jaccard"] <= 1.0
