@@ -453,17 +453,21 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) FILTER (WHERE half = 'a') AS n_a,
              COUNT(*) FILTER (WHERE half = 'b') AS n_b
       FROM halves GROUP BY bin
+    ),
+    shares AS (
+      -- zero guards (ADVICE-r4 rule): a regenerated stream landing
+      -- entirely in one half must yield NULL shares on BOTH engines,
+      -- not an ANSI DIVIDE_BY_ZERO on the Spark side only
+      SELECT bin, n_a, n_b,
+             CASE WHEN (SELECT ta FROM tot) > 0
+                  THEN CAST(n_a AS DOUBLE) / (SELECT ta FROM tot) END AS p_a,
+             CASE WHEN (SELECT tb FROM tot) > 0
+                  THEN CAST(n_b AS DOUBLE) / (SELECT tb FROM tot) END AS p_b
+      FROM bins
     )
-    SELECT bin, n_a, n_b,
-           CAST(n_a AS DOUBLE) / (SELECT ta FROM tot) AS p_a,
-           CAST(n_b AS DOUBLE) / (SELECT tb FROM tot) AS p_b,
-           (CAST(n_a AS DOUBLE) / (SELECT ta FROM tot)
-            - CAST(n_b AS DOUBLE) / (SELECT tb FROM tot))
-           * (CAST(n_a AS DOUBLE) / (SELECT ta FROM tot)
-              - CAST(n_b AS DOUBLE) / (SELECT tb FROM tot))
-           / (CAST(n_a AS DOUBLE) / (SELECT ta FROM tot)
-              + CAST(n_b AS DOUBLE) / (SELECT tb FROM tot)) AS chi2_component
-    FROM bins
+    SELECT bin, n_a, n_b, p_a, p_b,
+           (p_a - p_b) * (p_a - p_b) / (p_a + p_b) AS chi2_component
+    FROM shares
     """,
 )
 def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,8 +499,11 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("half") == "a").cast("long")).alias("n_a"),
         F.sum((F.col("half") == "b").cast("long")).alias("n_b"),
     )
-    pa = F.col("n_a").cast("double") / F.col("ta")
-    pb = F.col("n_b").cast("double") / F.col("tb")
+    # zero guards mirror the oracle's CASE WHEN (ADVICE-r4 divide class):
+    # a regenerated stream landing entirely in one half yields NULL
+    # shares on both engines instead of a Spark-only ANSI error.
+    pa = F.when(F.col("ta") > 0, F.col("n_a").cast("double") / F.col("ta"))
+    pb = F.when(F.col("tb") > 0, F.col("n_b").cast("double") / F.col("tb"))
     return bins.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_a",

@@ -38,8 +38,9 @@ import project_fauna_spark.operators.warehouse  # noqa: F401,E402
 import project_fauna_spark.operators.clustering  # noqa: F401,E402
 import project_fauna_spark.operators.upsert  # noqa: F401,E402
 import project_fauna_spark.operators.ml_feature  # noqa: F401,E402
-# round-5 additions (NEW module — never added to pre-window modules)
+# round-5 additions (NEW modules — never added to pre-window modules)
 import project_fauna_spark.operators.extras5  # noqa: F401,E402
+import project_fauna_spark.operators.extras6  # noqa: F401,E402
 # --- driver-green in rounds 2-4: back of the rotation ---
 import project_fauna_spark.operators.curation  # noqa: F401,E402
 import project_fauna_spark.operators.llm_extras  # noqa: F401,E402
