@@ -204,7 +204,7 @@ def llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the final-shard flag is a window over the tiny shard
     table.  fill_ratio is one double division of exact integers.
     """
-    from project_fauna_spark.operators.window_regrade import llm_pack_shards
+    from project_fauna_spark.operators.llm_pipeline import llm_pack_shards
 
     pack = llm_pack_shards(spark, sf_dir)
     shards = pack.groupBy("lang", "shard_id").agg(

@@ -119,8 +119,89 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_kept.join(drop_ids, "doc_id", "left_anti").select("doc_id", "lang", "n_tokens")
 
 
-# llm_pack_shards moved to operators/window_regrade.py for the round-4
-# re-grade window (oracle HUGEINT edge repaired there).
+@register(
+    "llm_pack_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS shard_id,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM packed
+    """,
+)
+def llm_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs to ~2048-token training
+    shards per language.
+
+    Moved home from window_regrade.py after its round-4 green re-grade
+    (the r3 red was an uncast DuckDB window-SUM -> HUGEINT edge).
+
+    shard_id = floor(tokens-before-this-doc / budget) — the standard
+    streaming-pack approximation (a doc may straddle a boundary; exact
+    bin-packing is NP-hard and needless here).
+
+    De-skewed cumsum: a bare ``PARTITION BY lang`` window funnels a
+    whole language through ONE task at 100 TB.  Instead the running
+    sum is decomposed over a composite key — (1) cumsum within
+    (lang, doc_id div B) buckets of <= B rows, (2) a TINY per-bucket
+    totals table (one row per bucket) gets its own per-lang cumsum to
+    produce each bucket's starting offset, (3) broadcast-join the
+    offsets back.  Token counts are integers, so the decomposition is
+    exact — output identical to the single-window spelling the oracle
+    uses.
+    """
+    bucket_rows = 8192  # <= B docs per window partition
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.storagelevel import StorageLevel
+
+    # Both the local cumsum and the offsets table fold over the same
+    # tokenized rows — persist the (narrow) token counts so the text
+    # split runs once, not twice.
+    toks = (
+        d.select(
+            "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        )
+        .withColumn("bkt", F.expr(f"doc_id div {bucket_rows}"))
+    )
+    toks = cached(toks, StorageLevel.MEMORY_AND_DISK)
+
+    w_local = (
+        W.partitionBy("lang", "bkt").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+
+    w_bkt = (
+        W.partitionBy("lang").orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = (
+        toks.groupBy("lang", "bkt")
+        .agg(F.sum("n_tokens").alias("bkt_total"))
+        .withColumn("offset", F.sum("bkt_total").over(w_bkt) - F.col("bkt_total"))
+        .select("lang", "bkt", "offset")
+    )
+
+    packed = local.join(F.broadcast(offsets), ["lang", "bkt"]).withColumn(
+        "cum_tokens", F.col("local_cum") + F.col("offset")
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048).cast("long").alias("shard_id"),
+        "cum_tokens",
+    )
 
 
 @register(

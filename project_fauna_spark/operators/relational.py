@@ -404,37 +404,8 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_approx_count_distinct",
-    oracle="""
-    SELECT event_type,
-           COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS approx_within_5pct
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — THE count-distinct at 100 TB.
-
-    The raw estimate is engine-specific (DuckDB's HLL differs), so the
-    graded edge carries (a) the exact count and (b) a deterministic
-    bound assertion ``|approx − exact| ≤ 5%·exact``: Spark's HLL++ is
-    hash-based and merge-order-independent, so the boolean is stable,
-    and the oracle's literal TRUE turns any estimator regression into a
-    hash mismatch.  rsd=0.01 → ~1% typical error, a few KB of sketch
-    per group; the 5% gate leaves margin across testdata generations.
-    """
-    e = load_table(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
-    err = F.abs(F.col("_approx") - F.col("exact_users")).cast("double")
-    return agg.select(
-        "event_type",
-        "exact_users",
-        (err <= 0.05 * F.col("exact_users").cast("double")).alias("approx_within_5pct"),
-    )
+# agg_approx_count_distinct moved to operators/window_regrade.py for the
+# round-6 re-grade window (its round-5 bound-style oracle had no driver seat).
 
 
 @register(
@@ -1099,8 +1070,52 @@ def scalar_regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# agg_percentile_exact moved to operators/window_regrade.py for the
-# round-4 re-grade window (needs a first driver row post array-hasher fix).
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS qty_q25,
+           quantile_cont(l_quantity, 0.5)  AS qty_q50,
+           quantile_cont(l_quantity, 0.75) AS qty_q75,
+           quantile_cont(l_quantity, 0.9)  AS qty_q90,
+           quantile_cont(l_extendedprice, 0.5)  AS price_p50,
+           quantile_cont(l_extendedprice, 0.95) AS price_p95,
+           quantile_cont(l_extendedprice, 0.99) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics).
+
+    Moved home from window_regrade.py after its round-4 green re-grade
+    (the r2 red was the driver hasher crashing on a top-level
+    array<double> column; the scalar-column spelling is what's graded).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    standard (1-f)*a[k] + f*a[k+1] interpolation — bit-identical on
+    identical input sets, verified including the 95/99 price tail.
+    One ``percentile(col, array(...))`` aggregate per input column
+    (single sort each), then the array is projected to scalar columns.
+    Exact percentiles need the group's values sorted (one shuffle);
+    at 100 TB prefer ``percentile_approx`` (t-digest sketch,
+    map-combinable — registered as semi_percentile_approx) unless the
+    contract demands exactness.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D))").alias("_qq"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").alias("_pt"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("_qq")[0].alias("qty_q25"),
+        F.col("_qq")[1].alias("qty_q50"),
+        F.col("_qq")[2].alias("qty_q75"),
+        F.col("_qq")[3].alias("qty_q90"),
+        F.col("_pt")[0].alias("price_p50"),
+        F.col("_pt")[1].alias("price_p95"),
+        F.col("_pt")[2].alias("price_p99"),
+    )
 
 
 @register(

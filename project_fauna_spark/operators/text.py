@@ -280,62 +280,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_hashed_tf",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           TRUE AS mass_preserved,
-           TRUE AS buckets_bounded
-    FROM documents
-    """,
-)
-def text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashing-trick term frequencies: 256 xxhash64 buckets per doc.
-
-    The fixed-width feature map used before IDF/minhash stages when the
-    vocabulary is unbounded; xxhash64 keeps it JVM-side and
-    deterministic.
-
-    Graded edge (bound-style): bucket assignments are xxhash64-based
-    (not SQL-portable), so the edge carries the EXACT token count per
-    doc (DuckDB recomputes it from the text) plus two honestly-computed
-    invariants the oracle emits as literal TRUE: the bucket counts sum
-    back to the token count (the hashing trick preserves L1 mass), and
-    the number of occupied buckets never exceeds
-    min(256, distinct terms).  A bucketing regression flips a boolean
-    or shifts a count and hash-fails.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.split(F.col("text"), " ").alias("terms"),
-    )
-    tokens = toks.select("doc_id", F.explode("terms").alias("term"))
-    bucketed = tokens.select(
-        "doc_id", F.pmod(F.xxhash64("term"), F.lit(256)).alias("bucket")
-    )
-    counts = bucketed.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum("n").alias("bucket_mass"),
-        F.count("*").alias("n_buckets"),
-    )
-    return (
-        toks.select(
-            "doc_id",
-            F.size("terms").cast("long").alias("n_tokens"),
-            F.least(F.lit(256), F.size(F.array_distinct("terms")))
-            .cast("long")
-            .alias("max_buckets"),
-        )
-        .join(per_doc, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("bucket_mass") == F.col("n_tokens")).alias("mass_preserved"),
-            (F.col("n_buckets") <= F.col("max_buckets")).alias("buckets_bounded"),
-        )
-    )
+# text_hashed_tf moved to operators/window_regrade.py for the round-6
+# re-grade window (its round-5 bound-style oracle had no driver seat).
 
 
 @register(
@@ -392,5 +338,60 @@ def text_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# text_bigram_cond_prob moved to operators/window_regrade.py for the
-# round-4 re-grade window (oracle HUGEINT edge repaired there).
+@register(
+    "text_bigram_cond_prob",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    pairs AS (
+      SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS pr
+      FROM w
+    ),
+    big AS (
+      SELECT pr.w1 AS w1, pr.w2 AS w2, COUNT(*) AS n12
+      FROM pairs GROUP BY 1, 2
+    ),
+    uni AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM big GROUP BY w1)
+    SELECT b.w1, b.w2, b.n12, u.n1,
+           CAST(b.n12 AS DOUBLE) / u.n1 AS cond_prob
+    FROM big b JOIN uni u ON b.w1 = u.w1
+    WHERE b.n12 >= 10
+    """,
+)
+def text_bigram_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional probabilities P(w2 | w1) — the count-based
+    language-model primitive (perplexity/surprisal scoring reduces to
+    joins against this table).
+
+    Moved home from window_regrade.py after its round-4 green re-grade
+    (the r3 red was an uncast DuckDB SUM(BIGINT) -> HUGEINT edge).
+
+    Counts stay integers end-to-end; each probability is ONE double
+    division of two exact counts — bit-identical across engines (the
+    reason this avoids log-space, where libm ulp differences between
+    JVM and C would break value parity).  The unigram table derives
+    from the bigram aggregate (continuation counts), so the corpus is
+    scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    k = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.slice(
+        F.arrays_zip(words.alias("w1"), F.slice(words, 2, k).alias("w2")), 1, k
+    )
+    big = (
+        d.select(F.explode(zipped).alias("pr"))
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+    )
+    uni = big.groupBy(F.col("w1").alias("u_w1")).agg(F.sum("n12").alias("n1"))
+    return (
+        big.join(uni, big.w1 == F.col("u_w1"))
+        .filter(F.col("n12") >= 10)
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            (F.col("n12").cast("double") / F.col("n1")).alias("cond_prob"),
+        )
+    )

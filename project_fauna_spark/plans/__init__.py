@@ -6,47 +6,53 @@ modules; ``QUERIES`` / ``ORACLE`` are the driver-facing maps.
 Module import order IS registry iteration order (dict insertion), and
 the external driver grades the first 50 entries per round — so imports
 are ordered to rotate not-yet-driver-verified modules into that window.
-Round-5 window (this order, exactly 50 entries): extras4 (17),
-graph (3), timeseries (3), eventseries (13), quality (9), layout (4)
-= 49, plus the first semistructured registration = 50.  None of these
-has ever had a driver row.  The window composition is pinned by
-tests/test_window_manifest.py against WINDOW_r5.txt — do NOT add
-registrations to any module at or before semistructured mid-round;
-new operators go in a NEW module imported after the window block.
-Round-6 queue (staged, first 50 all never-graded): semistructured
-remainder (20), modern_sql (9), analytics (15), warehouse heads (6);
-then r7: warehouse remainder (13), clustering (1), upsert (2),
-ml_feature (3), streaming_batch delta (stream_dedup_suppress_repeats),
-plus any r5-added modules.
+Round-6 window (this order, exactly 50 entries): window_regrade (4
+re-grade seats for the only red-history queries in the registry:
+dedup_minhash_lsh, dedup_simhash64, text_hashed_tf,
+agg_approx_count_distinct — bound-style oracles added r5, never
+re-graded) + semistructured (21; its head semi_map_functions went
+green r5, the other 20 are first-time) + modern_sql (9) + analytics
+(15) + the first warehouse registration (q_order_priority_count) = 50.
+The window composition is pinned by tests/test_window_manifest.py
+against WINDOW_r6.txt — do NOT add registrations to any module at or
+before warehouse mid-round; new operators go in a NEW module imported
+after the window block (extras7 for round 6).
+Round-7 queue (staged, covers every remaining never-graded query):
+warehouse remainder (18), clustering (1), upsert (2), ml_feature (3),
+extras5 (9), extras6 (7) = 40, + streaming_batch
+(stream_dedup_suppress_repeats + 4 green) + any extras7 additions fill
+the window to 50.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
 
 # Operator modules register their queries at import time.
-# --- round-5 grading window: exactly 50 entries ---
+# --- round-6 grading window: exactly 50 entries ---
+import project_fauna_spark.operators.window_regrade  # noqa: F401,E402
+import project_fauna_spark.operators.semistructured  # noqa: F401,E402
+import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
+import project_fauna_spark.operators.analytics  # noqa: F401,E402
+import project_fauna_spark.operators.warehouse  # noqa: F401,E402
+# --- queued for the round-7 window ---
+import project_fauna_spark.operators.clustering  # noqa: F401,E402
+import project_fauna_spark.operators.upsert  # noqa: F401,E402
+import project_fauna_spark.operators.ml_feature  # noqa: F401,E402
+import project_fauna_spark.operators.extras5  # noqa: F401,E402
+import project_fauna_spark.operators.extras6  # noqa: F401,E402
+import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
+# round-6 additions (NEW module — never added to pre-window modules)
+import project_fauna_spark.operators.extras7  # noqa: F401,E402
+# --- driver-green in rounds 2-5: back of the rotation ---
 import project_fauna_spark.operators.extras4  # noqa: F401,E402
 import project_fauna_spark.operators.graph  # noqa: F401,E402
 import project_fauna_spark.operators.timeseries  # noqa: F401,E402
 import project_fauna_spark.operators.eventseries  # noqa: F401,E402
 import project_fauna_spark.operators.quality  # noqa: F401,E402
 import project_fauna_spark.operators.layout  # noqa: F401,E402
-import project_fauna_spark.operators.semistructured  # noqa: F401,E402
-# --- queued for the round-6 window ---
-import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
-import project_fauna_spark.operators.analytics  # noqa: F401,E402
-import project_fauna_spark.operators.warehouse  # noqa: F401,E402
-import project_fauna_spark.operators.clustering  # noqa: F401,E402
-import project_fauna_spark.operators.upsert  # noqa: F401,E402
-import project_fauna_spark.operators.ml_feature  # noqa: F401,E402
-# round-5 additions (NEW modules — never added to pre-window modules)
-import project_fauna_spark.operators.extras5  # noqa: F401,E402
-import project_fauna_spark.operators.extras6  # noqa: F401,E402
-# --- driver-green in rounds 2-4: back of the rotation ---
 import project_fauna_spark.operators.curation  # noqa: F401,E402
 import project_fauna_spark.operators.llm_extras  # noqa: F401,E402
 import project_fauna_spark.operators.extras3  # noqa: F401,E402
 import project_fauna_spark.operators.multimodal  # noqa: F401,E402
-import project_fauna_spark.operators.window_regrade  # noqa: F401,E402
 import project_fauna_spark.operators.etl_source  # noqa: F401,E402
 import project_fauna_spark.operators.ingest  # noqa: F401,E402
 import project_fauna_spark.operators.dedup  # noqa: F401,E402
@@ -54,7 +60,6 @@ import project_fauna_spark.operators.similarity  # noqa: F401,E402
 import project_fauna_spark.operators.text  # noqa: F401,E402
 import project_fauna_spark.operators.llm_pipeline  # noqa: F401,E402
 import project_fauna_spark.operators.llm_quality  # noqa: F401,E402
-import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
 import project_fauna_spark.operators.udf_surface  # noqa: F401,E402
 import project_fauna_spark.operators.reference_queries  # noqa: F401,E402
 import project_fauna_spark.operators.relational  # noqa: F401,E402
