@@ -123,36 +123,72 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Results are exactly the plain join's (the oracle doesn't know the
     layout changed — that's the point).
     """
+    import hashlib
     import os
+    import shutil
     import tempfile
 
-    # Table names and external paths keyed by (sf_dir, application id):
-    # concurrent sessions must never clobber each other's bucket files
-    # (the ingest_partitioned_pruning lesson, ADVICE r4).
-    app_id = spark.sparkContext.applicationId.replace("-", "_")
+    # Bucket-file lifecycle (VERDICT r5): the layout is CONTENT-keyed —
+    # sf_dir plus an mtime/size fingerprint of the source parquet — so
+    # repeated sessions on the same testdata REUSE one bucketed write
+    # instead of each paying (and leaking) their own.  Concurrency
+    # stays safe without app-id keys: writers build into a private
+    # staging dir and publish with an atomic os.rename; the loser of a
+    # race just deletes its staging copy and reads the winner's files.
+    # Catalog entries are per-session (in-memory catalog), created via
+    # DDL over the shared external location — no metastore growth.
+    fp_src = []
+    for t in ("orders", "lineitem"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        fp_src.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    fp = hashlib.sha1(";".join(fp_src).encode()).hexdigest()[:12]
     key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    to_name, tl_name = f"b_orders_{key}_{app_id}", f"b_lineitem_{key}_{app_id}"
-    base = os.path.join(tempfile.gettempdir(), f"fauna_buckets_{app_id}")
-    if not spark.catalog.tableExists(to_name):
+    root = os.path.join(tempfile.gettempdir(), "fauna_buckets")
+    final = os.path.join(root, f"{key}_{fp}")
+    to_name, tl_name = f"b_orders_{key}_{fp}", f"b_lineitem_{key}_{fp}"
+
+    if not os.path.isdir(final):
+        app_id = spark.sparkContext.applicationId.replace("-", "_")
+        staging = os.path.join(root, f"staging_{app_id}")
+        shutil.rmtree(staging, ignore_errors=True)
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
         l = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
         )
-        (
-            o.write.mode("overwrite")
-            .bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .format("parquet")
-            .option("path", os.path.join(base, to_name))
-            .saveAsTable(to_name)
+        for df, col, sub in ((o, "o_orderkey", "orders"), (l, "l_orderkey", "lineitem")):
+            tmp_tbl = f"stage_{sub}_{app_id}"
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, col)
+                .sortBy(col)
+                .format("parquet")
+                .option("path", os.path.join(staging, sub))
+                .saveAsTable(tmp_tbl)
+            )
+            # External table: DROP removes the catalog entry, files stay.
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        os.makedirs(root, exist_ok=True)
+        try:
+            os.rename(staging, final)  # atomic publish
+            # Prune bucket layouts of SUPERSEDED testdata generations
+            # for this sf_dir (driver regenerates between rounds) so
+            # /tmp growth is bounded at one layout per live generation.
+            for stale in os.listdir(root):
+                if stale.startswith(f"{key}_") and stale != f"{key}_{fp}":
+                    shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    if not spark.catalog.tableExists(to_name):
+        spark.sql(
+            f"""CREATE TABLE {to_name} (o_orderkey BIGINT, o_orderpriority STRING)
+            USING PARQUET CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
+            INTO 8 BUCKETS LOCATION '{os.path.join(final, "orders")}'"""
         )
-        (
-            l.write.mode("overwrite")
-            .bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .format("parquet")
-            .option("path", os.path.join(base, tl_name))
-            .saveAsTable(tl_name)
+        spark.sql(
+            f"""CREATE TABLE {tl_name}
+            (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
+            USING PARQUET CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+            INTO 8 BUCKETS LOCATION '{os.path.join(final, "lineitem")}'"""
         )
     ob, lb = spark.table(to_name), spark.table(tl_name)
     joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
@@ -290,7 +326,11 @@ def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch is the 100 TB percentile pattern: fixed-size partial
     state per partition, merged once, never a global sort.  The exact
-    median here is the audit, not the production path.
+    median here is the audit, not the production path — and the audit
+    itself is scale-safe: rank-at-median is computed with the bucketed
+    two-phase rank (``ml_auc_ranksum`` shape), never a window
+    partitioned solely by the 3-value returnflag key, which would
+    funnel a third of the table through one task (VERDICT r5).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
@@ -300,13 +340,35 @@ def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.count("*").alias("n"),
     )
-    w = W.partitionBy("l_returnflag").orderBy(
+    # Two-phase exact rank: value-range buckets rank locally; a tiny
+    # per-(flag, bucket) counts table (broadcast) shifts local ranks to
+    # per-flag global ranks.  Ranks are exact integers, so the
+    # decomposition reproduces the single-window spelling bit-for-bit.
+    bucketed = li.withColumn(
+        "bucket", F.floor(F.col("l_extendedprice") / F.lit(1000.0)).cast("long")
+    )
+    w_local = W.partitionBy("l_returnflag", "bucket").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
+    local = bucketed.withColumn("local_rn", F.row_number().over(w_local))
+    bucket_counts = bucketed.groupBy("l_returnflag", "bucket").agg(
+        F.count("*").alias("bc")
+    )
+    w_off = (
+        W.partitionBy("l_returnflag").orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = bucket_counts.select(
+        "l_returnflag",
+        "bucket",
+        F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("bc").over(W.partitionBy("l_returnflag")).alias("nn"),
+    )
     exact = (
-        li.withColumn("rn", F.row_number().over(w))
-        .withColumn("nn", F.count("*").over(W.partitionBy("l_returnflag")))
-        .filter(F.col("rn") == F.floor((F.col("nn") + 1) / 2))
+        local.join(F.broadcast(offsets), ["l_returnflag", "bucket"])
+        .filter(
+            F.col("offset") + F.col("local_rn") == F.floor((F.col("nn") + 1) / 2)
+        )
         .select("l_returnflag", F.col("l_extendedprice").alias("exact_median"))
     )
     rank_of_approx = li.join(F.broadcast(approx), "l_returnflag").groupBy(

@@ -688,10 +688,12 @@ def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
 
     def _viol(name: str, cond) -> F.Column:  # noqa: ANN001
+        # coalesce: SUM over an empty table is NULL, but the oracle's
+        # COUNT(*) FILTER is 0 — match that on empty input (ADVICE r5).
         return F.struct(
             F.lit(name).alias("rule"),
             F.count("*").alias("n_checked"),
-            F.sum(cond.cast("long")).alias("n_violations"),
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias("n_violations"),
         )
 
     li_rules = li.agg(

@@ -45,8 +45,13 @@ def ml_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled implementation).
 
     Graded edge (bound-style): HashingTF's murmur bucket ids are
-    Spark-specific, so the edge carries the exact per-doc token count
-    (Tokenizer's whitespace split, recomputed by DuckDB) plus two
+    Spark-specific, so the edge carries the exact per-doc token count.
+    That count is computed as ``size(split(text, ' '))`` — NOT from
+    Tokenizer's output — so Spark and DuckDB tokenize identically by
+    construction (Tokenizer lowercases and splits on ANY whitespace,
+    dropping trailing empties; the oracle's string_split is space-only
+    and keeps them — a tab or trailing space in a regenerated corpus
+    would silently diverge the two; ADVICE r5).  It also carries two
     honestly-computed invariants the oracle emits as literal TRUE: the
     argmax bucket lies in [-1, 1024) and the top TF-IDF score is
     non-negative (IDF weights are ≥ 0 by construction).  A pipeline
@@ -74,7 +79,7 @@ def ml_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.when(mx > 0.0, mx).otherwise(F.lit(0.0))
     return scored.select(
         "doc_id",
-        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         ((bucket >= -1) & (bucket < (1 << 10))).alias("bucket_in_range"),
         (score >= 0.0).alias("score_nonneg"),
     )
@@ -106,9 +111,18 @@ def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut) ground-truth pairs — DuckDB recomputes it from the shared
     df-capped truth SQL — plus two honestly-computed booleans emitted
     as literal TRUE by the oracle: all returned pairs sit within the
-    distance threshold, and recall against the exact truth is ≥ 0.5
-    (measured 1.0 at sf0.01 AND sf0.1, expected ≈1-(1-j)^8 ≥ 0.996
-    for j ≥ 0.5 with 8 OR-ed tables).
+    distance threshold, and recall ≥ 0.5.
+
+    The recall denominator is NOT the df-capped truth count directly:
+    the LSH hashes RAW shingle sets while dedup_ngram_jaccard's truth
+    drops hot (df > cap) shingles — two slightly different similarity
+    spaces, so the 1-(1-j)^8 ≥ 0.996 guarantee only applies to pairs
+    whose raw-shingle-set Jaccard is > 0.5 (ADVICE r5).  The boolean
+    therefore re-scores the (tiny) truth pair set with exact
+    raw-shingle Jaccard and measures recall over the > 0.5 survivors —
+    the bound now holds by construction on any corpus, not just ones
+    where the two spaces happen to agree (measured recall 1.0 at
+    sf0.01 AND sf0.1).
     """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
@@ -154,18 +168,37 @@ def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pairs_within_threshold"
         )
     )
-    n_found = returned.join(truth, ["doc_a", "doc_b"]).agg(
+    # Re-score the (bounded) truth pairs in the LSH's OWN space — exact
+    # Jaccard over raw distinct shingle sets, joined back by id — and
+    # use the > 0.5 survivors as the recall denominator so the LSH
+    # collision bound applies to every counted pair.
+    raw = d.select("doc_id", F.array_distinct("tokens").alias("sgl"))
+    ra = raw.select(F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"))
+    rb = raw.select(F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"))
+    n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
+    raw_jac = n_inter.cast("double") / (
+        F.size("sgl_a") + F.size("sgl_b") - n_inter
+    )
+    truth_lsh_space = (
+        truth.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .filter(raw_jac > 0.5)
+        .select("doc_a", "doc_b")
+    )
+    n_denom = truth_lsh_space.agg(F.count("*").alias("n_denom"))
+    n_found = returned.join(truth_lsh_space, ["doc_a", "doc_b"]).agg(
         F.count("*").alias("n_found")
     )
     return (
         n_truth.crossJoin(within)
+        .crossJoin(n_denom)
         .crossJoin(n_found)
         .select(
             "n_true_pairs",
             "pairs_within_threshold",
             F.when(
-                F.col("n_true_pairs") > 0,
-                F.col("n_found").cast("double") / F.col("n_true_pairs") >= 0.5,
+                F.col("n_denom") > 0,
+                F.col("n_found").cast("double") / F.col("n_denom") >= 0.5,
             )
             .otherwise(F.lit(True))
             .alias("recall_ge_half"),

@@ -110,12 +110,29 @@ def test_recall_guards_survive_empty_truth(spark):
     assert len(rows) == 1
 
 
-def test_bucketed_tables_keyed_by_app_id(spark):
-    """Concurrent sessions must not clobber each other's bucket files."""
+def test_bucketed_tables_content_keyed_and_reused(spark):
+    """Bucket layouts are content-keyed (sf_dir + source fingerprint):
+    repeated invocations — and foreign sessions on the same testdata —
+    reuse ONE published layout instead of each leaking an app-keyed
+    copy (VERDICT r5).  Concurrent writers stay safe via the private
+    staging dir + atomic os.rename publish."""
+    import os
+    import tempfile
+
     QUERIES["join_bucketed_colocate"](spark, SF_SMOKE)
-    app_id = spark.sparkContext.applicationId.replace("-", "_")
     hits = [t.name for t in spark.catalog.listTables() if t.name.startswith("b_orders_")]
-    assert all(app_id in t for t in hits)
+    assert hits, "bucketed table not registered"
+    # Second call must not create another table or another layout dir.
+    QUERIES["join_bucketed_colocate"](spark, SF_SMOKE)
+    hits2 = [t.name for t in spark.catalog.listTables() if t.name.startswith("b_orders_")]
+    assert hits2 == hits
+    root = os.path.join(tempfile.gettempdir(), "fauna_buckets")
+    key = SF_SMOKE.strip("/").replace("/", "_").replace(".", "_")
+    layouts = [d for d in os.listdir(root) if d.startswith(f"{key}_")]
+    assert len(layouts) == 1, f"expected one layout per generation, got {layouts}"
+    assert not [d for d in os.listdir(root) if d.startswith("staging_")], (
+        "staging dir leaked past publish"
+    )
 
 
 def test_mixture_weights_rebalance_exactly(spark):
