@@ -1,0 +1,97 @@
+"""Round-6 operator invariants (extras7): IVFADC search, microbatch
+padding, conversion latency, deletion-vector audit, span-corruption
+plan, chi-square term selection.
+
+Oracle parity for every operator is covered registry-wide by
+test_oracle_parity; these tests pin the semantic invariants that
+parity alone would not catch if both engines drifted together.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE as SF
+
+from project_fauna_spark.plans import QUERIES
+
+
+def test_ivfpq_topk_and_adc_ordering(spark):
+    rows = QUERIES["sim_ivf_pq_search"](spark, SF).collect()
+    assert rows, "IVFADC returned nothing"
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists), f"ADC order broken for query {q}"
+        assert all(r["adc_dist"] >= 0.0 for r in rs)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_microbatch_padding_invariants(spark):
+    rows = QUERIES["llm_microbatch_padding"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_docs"] <= 32
+        assert r["sum_len"] <= r["padded_tokens"] == r["n_docs"] * r["max_len"]
+        assert 0.0 <= r["pad_waste_frac"] < 1.0
+    # microbatch ids are contiguous from 0 within each bucket
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["len_bucket"], []).append(r["microbatch"])
+    for b, mbs in by_bucket.items():
+        assert sorted(mbs) == list(range(len(mbs))), f"bucket {b} ids not contiguous"
+    # only the LAST microbatch of a bucket may be under-full
+    for b, _ in by_bucket.items():
+        rs = sorted(
+            (r for r in rows if r["len_bucket"] == b), key=lambda r: r["microbatch"]
+        )
+        for r in rs[:-1]:
+            assert r["n_docs"] == 32
+
+
+def test_time_to_convert_order_stats(spark):
+    rows = QUERIES["event_time_to_convert"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_converted"] > 0
+        assert r["min_sec"] <= r["p50_sec"] <= r["p90_sec"] <= r["max_sec"]
+        assert r["min_sec"] >= 0.0
+
+
+def test_deletion_vector_stats_bounds(spark):
+    rows = QUERIES["layout_deletion_vector_stats"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dv_density"] <= 1.0
+        if r["read_amplification"] is not None:
+            assert r["read_amplification"] >= 1.0
+        assert r["rewrite_recommended"] == (r["n_deleted"] * 10 > r["n_rows"] * 3)
+
+
+def test_span_corruption_accounting(spark):
+    rows = QUERIES["llm_span_corruption_plan"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_corrupt"] <= r["n_tokens"]
+        if r["n_corrupt"] > 0:
+            # inputs keep survivors + 1 sentinel per span; targets carry
+            # corrupted tokens + sentinels + EOS
+            assert r["input_len"] == r["n_tokens"] - r["n_corrupt"] + r["n_spans"]
+            assert r["target_len"] == r["n_corrupt"] + r["n_spans"] + 1
+            assert 1 <= r["n_spans"] <= r["n_corrupt"]
+        else:
+            assert r["n_spans"] == 0 and r["target_len"] == 0
+
+
+def test_chi2_nonnegative_and_margins(spark):
+    rows = QUERIES["ml_chi2_term_selection"](spark, SF).collect()
+    assert rows
+    terms = {r["term"] for r in rows}
+    assert 0 < len(terms) <= 50  # min(50, corpus vocabulary)
+    for r in rows:
+        assert r["n_docs_with_term"] <= r["term_df"]
+        if r["chi2"] is not None:
+            assert r["chi2"] >= -1e-12
