@@ -76,6 +76,10 @@ HEADLINE = [
     "ml_pca_covariance",
     "llm_unigram_lm_score",
     "graph_common_neighbors",
+    # round 6 additions (baselines recorded in BASELINE.md same day)
+    "sim_ivf_pq_search",
+    "llm_microbatch_padding",
+    "event_time_to_convert",
 ]
 
 
