@@ -95,3 +95,61 @@ def test_chi2_nonnegative_and_margins(spark):
         assert r["n_docs_with_term"] <= r["term_df"]
         if r["chi2"] is not None:
             assert r["chi2"] >= -1e-12
+
+
+# ---- batch 2 (extras8) ----
+
+
+def test_paragraph_dedup_bounds(spark):
+    rows = QUERIES["dedup_paragraph_hash"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_paras"] <= r["n_paras"]
+        assert abs(r["dup_frac"] - r["n_dup_paras"] / r["n_paras"]) < 1e-15
+        assert r["drop_doc"] == (r["n_dup_paras"] * 2 > r["n_paras"])
+
+
+def test_matryoshka_recall_range(spark):
+    rows = QUERIES["sim_matryoshka_prefix_recall"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert abs(r["prefix_recall"] - r["n_overlap"] / 10.0) < 1e-15
+
+
+def test_nprobe_sweep_monotone(spark):
+    rows = sorted(
+        QUERIES["sim_ivf_nprobe_sweep"](spark, SF).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 4]
+    recalls = [r["recall_at_5"] for r in rows]
+    # probing more cells can only find more of the truth
+    assert all(a <= b + 1e-15 for a, b in zip(recalls, recalls[1:]))
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_zone_map_pruning_clustered_beats_scattered(spark):
+    rows = QUERIES["layout_zone_map_pruning"](spark, SF).collect()
+    assert rows
+    # insertion-ordered files prune hard; hash-scattered files barely
+    # (only boundary months with few orders can prune there)
+    frac_c = sum(r["scanned_clustered"] for r in rows) / sum(
+        r["n_files_clustered"] for r in rows
+    )
+    frac_s = sum(r["scanned_scattered"] for r in rows) / sum(
+        r["n_files_scattered"] for r in rows
+    )
+    assert frac_c < 0.5 < frac_s, (frac_c, frac_s)
+    for r in rows:
+        assert 0 <= r["scanned_clustered"] <= r["n_files_clustered"]
+        assert 0 <= r["scanned_scattered"] <= r["n_files_scattered"]
+
+
+def test_date_spine_coverage(spark):
+    rows = QUERIES["ts_date_spine_gapfill"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_active_days"] + r["n_gap_days"] == r["n_days_span"]
+        assert 0.0 < r["activity_ratio"] <= 1.0
+        assert (r["first_gap_day"] is None) == (r["n_gap_days"] == 0)
