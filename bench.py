@@ -80,6 +80,7 @@ HEADLINE = [
     "sim_ivf_pq_search",
     "llm_microbatch_padding",
     "event_time_to_convert",
+    "dedup_paragraph_hash",
 ]
 
 
