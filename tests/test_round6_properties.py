@@ -153,3 +153,61 @@ def test_date_spine_coverage(spark):
         assert r["n_active_days"] + r["n_gap_days"] == r["n_days_span"]
         assert 0.0 < r["activity_ratio"] <= 1.0
         assert (r["first_gap_day"] is None) == (r["n_gap_days"] == 0)
+
+
+# ---- batch 3 (extras9) ----
+
+
+def test_ndcg_in_unit_interval(spark):
+    rows = QUERIES["ml_ndcg_eval"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_rel"] <= 5
+        if r["n_rel"] == 0:
+            assert r["ndcg"] is None and r["idcg"] is None
+        else:
+            assert 0.0 < r["ndcg"] <= 1.0 + 1e-12
+            assert r["dcg"] <= r["idcg"] + 1e-12
+
+
+def test_kappa_range_and_margins(spark):
+    (r,) = QUERIES["llm_judge_agreement_kappa"](spark, SF).collect()
+    assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
+    if r["kappa"] is not None:
+        assert -1.0 - 1e-12 <= r["kappa"] <= 1.0 + 1e-12
+
+
+def test_flesch_bands_consistent(spark):
+    rows = QUERIES["text_readability_flesch"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] >= 1 and r["n_sentences"] >= 1
+        expect = (
+            "easy"
+            if r["flesch_score"] >= 60
+            else ("medium" if r["flesch_score"] >= 30 else "hard")
+        )
+        assert r["band"] == expect
+
+
+def test_bounce_rate_bounds(spark):
+    rows = QUERIES["event_bounce_rate"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert abs(r["bounce_rate"] - r["n_bounces"] / r["n_sessions"]) < 1e-15
+
+
+def test_threshold_sweep_monotone(spark):
+    rows = sorted(
+        QUERIES["dedup_threshold_sweep"](spark, SF).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.3, 0.5, 0.7]
+    pairs = [r["n_pairs"] for r in rows]
+    dropped = [r["n_docs_dropped"] for r in rows]
+    # tightening the threshold can only shrink the affected set
+    assert pairs == sorted(pairs, reverse=True)
+    assert dropped == sorted(dropped, reverse=True)
+    for r in rows:
+        assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
