@@ -338,7 +338,9 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "emb", "k", dp_c.alias("dp")
     )
     w_cell = W.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("k").desc())
-    ranked = scored.withColumn("rn", F.row_number().over(w_cell))
+    # Both the corpus assignment and the probe list read the ranked
+    # frame — persist it so the codebook scoring + window run once.
+    ranked = cached(scored.withColumn("rn", F.row_number().over(w_cell)))
     assigned = ranked.filter(F.col("rn") == 1).select(
         "vec_id", "emb", F.col("k").alias("cell")
     )
