@@ -271,3 +271,27 @@ def test_semantic_ivf_codebook_broadcasts(spark):
     plan = plan_of(spark, "dedup_semantic_ivf")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_two_phase_ranks_never_funnel_raw_data(spark):
+    """Round-6 de-skew claim: the row-level rank windows (the ones that
+    see the raw table) must partition by (key, bucket), never the
+    low-cardinality key alone — only the tiny per-bucket offset tables
+    may window on the bare key.  Pinned by asserting the spec that
+    orders by the row-level sort column also carries its bucket key."""
+    import re
+
+    cases = [
+        ("event_time_to_convert", "latency_sec", "bkt"),
+        ("llm_microbatch_padding", "doc_id", "sub"),
+        ("agg_approx_percentile_bound", "l_extendedprice", "bucket"),
+    ]
+    for name, row_col, bucket_col in cases:
+        plan = plan_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        row_specs = [s for s in specs if row_col in s]
+        assert row_specs, f"{name}: no window orders by {row_col}?"
+        for s in row_specs:
+            assert bucket_col in s, (
+                f"{name}: raw-data window lost its {bucket_col} de-skew key: {s}"
+            )
