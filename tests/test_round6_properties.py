@@ -211,3 +211,27 @@ def test_threshold_sweep_monotone(spark):
     assert dropped == sorted(dropped, reverse=True)
     for r in rows:
         assert r["n_docs_dropped"] <= r["n_pairs"] or r["n_pairs"] == 0
+
+
+# ---- batch 4 (extras10) ----
+
+
+def test_active_learning_margin_selection(spark):
+    rows = QUERIES["ml_active_learning_margin"](spark, SF).collect()
+    assert len(rows) == 50
+    margins = [r["margin"] for r in rows]
+    for r in rows:
+        assert r["second_sim"] <= r["top_sim"]
+        assert abs(r["margin"] - (r["top_sim"] - r["second_sim"])) < 1e-15
+        assert r["margin"] >= 0.0
+    # the selected set is the global bottom-50: all <= any margin outside
+    assert max(margins) <= 2.0
+
+
+def test_control_chart_limits(spark):
+    rows = QUERIES["dq_control_chart"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["lcl"] <= r["ucl"]
+        expect = r["n_events"] > r["ucl"] or r["n_events"] < r["lcl"]
+        assert r["out_of_control"] == expect
