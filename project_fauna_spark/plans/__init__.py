@@ -18,11 +18,12 @@ against WINDOW_r6.txt — do NOT add registrations to any module at or
 before warehouse mid-round; new operators go in a NEW module imported
 after the window block (extras7 for round 6).
 Round-7 queue (staged): warehouse remainder (18), clustering (1),
-upsert (2), ml_feature (3), extras5 (9), extras6 (7) = 40, then the
-first 10 of the r6-added extras7 (6) + extras8 (5) = 50 (the 11th plus
-streaming_batch's stream_dedup_suppress_repeats spill to r8, which is
-otherwise re-grade capacity — after r7 only ~2 never-graded queries
-remain).
+upsert (2), ml_feature (3), extras5 (9), extras6 (7) = 40, then 10 of
+the 18 r6-added queries (extras7 ×6 + extras8 head ×4) = 50.  The
+remaining 8 r6 additions (extras8 tail, extras9 ×5, extras10 ×2) plus
+streaming_batch's stream_dedup_suppress_repeats fill r8, which is
+otherwise re-grade capacity — after r8 zero never-graded queries
+remain.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
