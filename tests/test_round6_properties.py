@@ -235,3 +235,20 @@ def test_control_chart_limits(spark):
         assert r["lcl"] <= r["ucl"]
         expect = r["n_events"] > r["ucl"] or r["n_events"] < r["lcl"]
         assert r["out_of_control"] == expect
+
+
+def test_microbatch_two_phase_invariant_under_subbucket_width(spark, monkeypatch):
+    """The de-skew decomposition must be semantically invisible: with a
+    tiny sub-bucket width (64 instead of 4096) the offset-join path is
+    exercised hard at sf0.01 (many sub-buckets per length bucket), and
+    the result must be IDENTICAL to the default spelling."""
+    import project_fauna_spark.operators.extras7 as x7
+
+    base = sorted(
+        tuple(r) for r in QUERIES["llm_microbatch_padding"](spark, SF).collect()
+    )
+    monkeypatch.setattr(x7, "_MB_SUB_ROWS", 64)
+    small = sorted(
+        tuple(r) for r in QUERIES["llm_microbatch_padding"](spark, SF).collect()
+    )
+    assert base == small
