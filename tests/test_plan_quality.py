@@ -285,6 +285,7 @@ def test_two_phase_ranks_never_funnel_raw_data(spark):
         ("event_time_to_convert", "latency_sec", "bkt"),
         ("llm_microbatch_padding", "doc_id", "sub"),
         ("agg_approx_percentile_bound", "l_extendedprice", "bucket"),
+        ("agg_weighted_median", "l_extendedprice", "bkt"),
     ]
     for name, row_col, bucket_col in cases:
         plan = plan_of(spark, name)

@@ -252,3 +252,39 @@ def test_microbatch_two_phase_invariant_under_subbucket_width(spark, monkeypatch
         tuple(r) for r in QUERIES["llm_microbatch_padding"](spark, SF).collect()
     )
     assert base == small
+
+
+# ---- batch 5 (extras11) ----
+
+
+def test_cusum_changepoint_invariants(spark):
+    rows = QUERIES["ts_cusum_changepoint"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["max_abs_deviation"] >= 0.0
+        assert r["changepoint_day"] is not None
+
+
+def test_weighted_median_is_weight_crossing(spark):
+    rows = QUERIES["agg_weighted_median"](spark, SF).collect()
+    assert rows
+    li = (
+        spark.read.parquet(SF + "/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    import collections
+
+    by_flag = collections.defaultdict(list)
+    for r in li:
+        by_flag[r["l_returnflag"]].append((r["l_extendedprice"], int(r["l_quantity"])))
+    for r in rows:
+        vals = sorted(by_flag[r["l_returnflag"]])
+        total = sum(w for _, w in vals)
+        assert r["total_weight"] == total
+        run = 0
+        for v, w in vals:
+            run += w
+            if 2 * run >= total:
+                assert r["weighted_median_price"] == v
+                break
