@@ -50,6 +50,9 @@ def run_query(args) -> int:
         .getOrCreate()
     )
     df = QUERIES[args.query](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
     rows = df.limit(args.limit).collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))

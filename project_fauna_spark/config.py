@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="print every registered query name and exit",
     )
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="with --query: print the formatted physical plan instead of rows",
+    )
     return p
 
 

@@ -160,3 +160,26 @@ def test_cli_unknown_query_exits_2():
     )
     assert proc.returncode == 2
     assert "Unknown query" in proc.stderr
+
+
+def test_cli_query_explain(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "project_fauna_spark",
+            "--query",
+            "agg_count_distinct",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--explain",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0
+    assert "== Physical Plan ==" in out.stdout
