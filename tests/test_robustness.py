@@ -142,3 +142,48 @@ def test_merge_upsert_null_overwrites(spark):
     assert out[1]["name"] is None and out[1]["val"] == 99.0  # NULL overwrote
     assert out[2]["name"] == "keep"
     assert out[3]["name"] == "new"
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """A testdata dir with every table present but ZERO rows (schemas
+    cloned from sf0.001) — the degenerate corpus a regenerated-testdata
+    edge case could approach.  Queries must not throw (ANSI division,
+    NULL folds); empty or NULL-row results are fine."""
+    root = tmp_path_factory.mktemp("fauna_empty_sf")
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(0)
+        df.coalesce(1).write.mode("overwrite").parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # division/ratio edges and sweeps from round 6
+        "agg_weighted_median",
+        "ts_cusum_changepoint",
+        "dq_control_chart",
+        "llm_judge_agreement_kappa",
+        "event_bounce_rate",
+        "event_time_to_convert",
+        "llm_microbatch_padding",
+        "llm_span_corruption_plan",
+        "layout_deletion_vector_stats",
+        "text_readability_flesch",
+        "dedup_paragraph_hash",
+        "dq_cross_field_rules",
+        # a spread of older division-bearing paths
+        "agg_pricing_summary",
+        "text_tfidf_topk",
+        "dedup_exact_text",
+    ],
+)
+def test_queries_survive_empty_corpus(spark, empty_sf, name):
+    rows = QUERIES[name](spark, empty_sf).collect()
+    # no throw is the contract; most yield zero rows, single-row global
+    # aggregates may yield one NULL-ish row
+    assert len(rows) <= 1 or all(r is not None for r in rows)
