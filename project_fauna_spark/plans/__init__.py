@@ -19,11 +19,14 @@ before warehouse mid-round; new operators go in a NEW module imported
 after the window block (extras7 for round 6).
 Round-7 queue (staged): warehouse remainder (18), clustering (1),
 upsert (2), ml_feature (3), extras5 (9), extras6 (7) = 40, then 10 of
-the 18 r6-added queries (extras7 ×6 + extras8 head ×4) = 50.  The
-remaining 8 r6 additions (extras8 tail, extras9 ×5, extras10 ×2) plus
-streaming_batch's stream_dedup_suppress_repeats fill r8, which is
-otherwise re-grade capacity — after r8 zero never-graded queries
-remain.
+the 20 r6-added queries (extras7 ×6 + extras8 head ×4) = 50.  The
+remaining 10 r6 additions (extras8 tail, extras9 ×5, extras10 ×2,
+extras11 ×2) plus streaming_batch's stream_dedup_suppress_repeats fill
+r8, which is otherwise re-grade capacity — after r8 zero never-graded
+queries remain.  The ENTIRE 304-query registry passed the typed
+foreign-session sweep at sf0.01 post-r6-changes (2026-08-14), and the
+first ~130 registry positions (the full r7/r8 never-graded region)
+passed at sf0.1.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
