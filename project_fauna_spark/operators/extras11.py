@@ -120,7 +120,7 @@ _WM_BUCKET = 1000.0  # price-range bucket width for the two-phase rank
     oracle="""
     WITH li AS (
       SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
-             CAST(l_quantity AS BIGINT) AS w
+             CAST(floor(l_quantity) AS BIGINT) AS w
       FROM lineitem
     ),
     tot AS (
@@ -169,7 +169,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_orderkey",
         "l_linenumber",
-        F.col("l_quantity").cast("long").alias("w"),
+        # floor() in BOTH engines: Spark's double->long cast truncates
+        # while DuckDB's CAST(double AS BIGINT) rounds — a fractional
+        # quantity in regenerated testdata would silently diverge the
+        # weights (code-review r6).  floor agrees everywhere.
+        F.floor(F.col("l_quantity")).cast("long").alias("w"),
     )
     bucketed = li.withColumn(
         "bkt", F.floor(F.col("l_extendedprice") / F.lit(_WM_BUCKET)).cast("long")
@@ -179,19 +183,10 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", "l_orderkey", "l_linenumber"
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
     local = bucketed.withColumn("local_w", F.sum("w").over(w_local))
-    w_off = (
-        W.partitionBy("l_returnflag").orderBy("bkt")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = (
-        bucketed.groupBy("l_returnflag", "bkt")
-        .agg(F.sum("w").alias("bw"))
-        .select(
-            "l_returnflag",
-            "bkt",
-            F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("offset"),
-            F.sum("bw").over(W.partitionBy("l_returnflag")).alias("total_w"),
-        )
+    from project_fauna_spark.functions.ranks import bucket_offsets
+
+    offsets = bucket_offsets(
+        bucketed, ["l_returnflag"], "bkt", F.col("w"), total_alias="total_w"
     )
     r = local.join(F.broadcast(offsets), ["l_returnflag", "bkt"]).withColumn(
         "run_w", F.col("offset") + F.col("local_w")

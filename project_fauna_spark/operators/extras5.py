@@ -173,9 +173,22 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Prune bucket layouts of SUPERSEDED testdata generations
             # for this sf_dir (driver regenerates between rounds) so
             # /tmp growth is bounded at one layout per live generation.
+            # Also sweep staging dirs older than an hour — a writer
+            # that crashed between saveAsTable and the rename would
+            # otherwise leak its copy forever (code-review r6); live
+            # concurrent writers are minutes-old at most.
+            import time
+
             for stale in os.listdir(root):
+                path = os.path.join(root, stale)
                 if stale.startswith(f"{key}_") and stale != f"{key}_{fp}":
-                    shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+                    shutil.rmtree(path, ignore_errors=True)
+                elif stale.startswith("staging_"):
+                    try:
+                        if time.time() - os.path.getmtime(path) > 3600:
+                            shutil.rmtree(path, ignore_errors=True)
+                    except OSError:
+                        pass
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)  # lost the race
     if not spark.catalog.tableExists(to_name):
@@ -351,18 +364,10 @@ def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     local = bucketed.withColumn("local_rn", F.row_number().over(w_local))
-    bucket_counts = bucketed.groupBy("l_returnflag", "bucket").agg(
-        F.count("*").alias("bc")
-    )
-    w_off = (
-        W.partitionBy("l_returnflag").orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = bucket_counts.select(
-        "l_returnflag",
-        "bucket",
-        F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("offset"),
-        F.sum("bc").over(W.partitionBy("l_returnflag")).alias("nn"),
+    from project_fauna_spark.functions.ranks import bucket_offsets
+
+    offsets = bucket_offsets(
+        bucketed, ["l_returnflag"], "bucket", F.lit(1), total_alias="nn"
     )
     exact = (
         local.join(F.broadcast(offsets), ["l_returnflag", "bucket"])

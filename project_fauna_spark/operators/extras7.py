@@ -343,20 +343,12 @@ def llm_microbatch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub", F.expr(f"doc_id div {_MB_SUB_ROWS}")
     )
     toks = cached(toks)
+    from project_fauna_spark.functions.ranks import bucket_offsets
+
     w_local = W.partitionBy("len_bucket", "sub").orderBy("doc_id")
     local = toks.withColumn("local_rn", F.row_number().over(w_local))
-    w_off = (
-        W.partitionBy("len_bucket").orderBy("sub")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = (
-        toks.groupBy("len_bucket", "sub")
-        .agg(F.count("*").alias("bc"))
-        .select(
-            "len_bucket",
-            "sub",
-            F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("offset"),
-        )
+    offsets = bucket_offsets(toks, ["len_bucket"], "sub", F.lit(1)).select(
+        "len_bucket", "sub", "offset"
     )
     ranked = local.join(F.broadcast(offsets), ["len_bucket", "sub"]).withColumn(
         "rn", F.col("offset") + F.col("local_rn")
@@ -473,21 +465,12 @@ def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two-phase exact rank over (cohort, day-bucket) — never a window
     # partitioned by the low-cardinality cohort alone.
     bucketed = lat.withColumn("bkt", F.expr(f"lat_us div {_TTC_BUCKET_US}"))
+    from project_fauna_spark.functions.ranks import bucket_offsets
+
     w_local = W.partitionBy("cohort_month", "bkt").orderBy("latency_sec", "user_id")
     local = bucketed.withColumn("local_rn", F.row_number().over(w_local))
-    w_off = (
-        W.partitionBy("cohort_month").orderBy("bkt")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = (
-        bucketed.groupBy("cohort_month", "bkt")
-        .agg(F.count("*").alias("bc"))
-        .select(
-            "cohort_month",
-            "bkt",
-            F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("offset"),
-            F.sum("bc").over(W.partitionBy("cohort_month")).alias("n"),
-        )
+    offsets = bucket_offsets(
+        bucketed, ["cohort_month"], "bkt", F.lit(1), total_alias="n"
     )
     ranked = local.join(F.broadcast(offsets), ["cohort_month", "bkt"]).withColumn(
         "rn", F.col("offset") + F.col("local_rn")
@@ -676,7 +659,7 @@ _CHI2_TOP_TERMS = 50
     SELECT term, lang,
            CAST(a AS BIGINT) AS n_docs_with_term,
            CAST(df AS BIGINT) AS term_df,
-           CASE WHEN n_lang < n THEN
+           CASE WHEN n_lang < n AND df < n THEN
              (CAST(n AS DOUBLE)
               * (CAST(a * (n - n_lang - (df - a)) - (n_lang - a) * (df - a)
                       AS DOUBLE)
@@ -749,5 +732,11 @@ def ml_chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("a").cast("long").alias("n_docs_with_term"),
         F.col("df").cast("long").alias("term_df"),
-        F.when(F.col("n_lang") < F.col("n"), chi2).alias("chi2"),
+        # Both margins guarded: a degenerate single-language corpus
+        # (n_lang = n) OR an every-document term (df = n) zeroes a
+        # denominator — ANSI Spark throws on 0/0 where DuckDB NULLs
+        # (code-review r6), so NULL the cell explicitly in both.
+        F.when(
+            (F.col("n_lang") < F.col("n")) & (F.col("df") < F.col("n")), chi2
+        ).alias("chi2"),
     )

@@ -181,15 +181,10 @@ def llm_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = toks.withColumn("local_cum", F.sum("n_tokens").over(w_local))
 
-    w_bkt = (
-        W.partitionBy("lang").orderBy("bkt")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = (
-        toks.groupBy("lang", "bkt")
-        .agg(F.sum("n_tokens").alias("bkt_total"))
-        .withColumn("offset", F.sum("bkt_total").over(w_bkt) - F.col("bkt_total"))
-        .select("lang", "bkt", "offset")
+    from project_fauna_spark.functions.ranks import bucket_offsets
+
+    offsets = bucket_offsets(toks, ["lang"], "bkt", F.col("n_tokens")).select(
+        "lang", "bkt", "offset"
     )
 
     packed = local.join(F.broadcast(offsets), ["lang", "bkt"]).withColumn(

@@ -183,7 +183,8 @@ def empty_sf(spark, tmp_path_factory):
     ],
 )
 def test_queries_survive_empty_corpus(spark, empty_sf, name):
+    # The collect() itself is the contract: no ANSI divide-by-zero, no
+    # NULL-fold crash.  Row-level results are legitimately empty (or a
+    # single NULL-ish global-aggregate row), so only shape is checked.
     rows = QUERIES[name](spark, empty_sf).collect()
-    # no throw is the contract; most yield zero rows, single-row global
-    # aggregates may yield one NULL-ish row
-    assert len(rows) <= 1 or all(r is not None for r in rows)
+    assert isinstance(rows, list)
