@@ -288,3 +288,20 @@ def test_weighted_median_is_weight_crossing(spark):
             if 2 * run >= total:
                 assert r["weighted_median_price"] == v
                 break
+
+
+# ---- batch 6 (extras12) ----
+
+
+def test_bloom_prefilter_accounting(spark):
+    (r,) = QUERIES["join_bloom_semi_prefilter"](spark, SF).collect()
+    # Bloom membership is a superset of exact membership
+    assert r["no_false_negatives"] is True
+    assert r["n_bloom_pass"] >= r["n_exact_pass"]
+    assert r["n_bloom_pass"] <= r["n_big_rows"]
+    if r["fp_rate"] is not None:
+        expect = (r["n_bloom_pass"] - r["n_exact_pass"]) / (
+            r["n_big_rows"] - r["n_exact_pass"]
+        )
+        assert abs(r["fp_rate"] - expect) < 1e-15
+        assert 0.0 <= r["fp_rate"] <= 1.0
