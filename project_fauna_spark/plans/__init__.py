@@ -23,10 +23,11 @@ the 20 r6-added queries (extras7 ×6 + extras8 head ×4) = 50.  The
 remaining 10 r6 additions (extras8 tail, extras9 ×5, extras10 ×2,
 extras11 ×2) plus streaming_batch's stream_dedup_suppress_repeats fill
 r8, which is otherwise re-grade capacity — after r8 zero never-graded
-queries remain.  The ENTIRE 304-query registry passed the typed
-foreign-session sweep at sf0.01 post-r6-changes (2026-08-14), and the
-first ~130 registry positions (the full r7/r8 never-graded region)
-passed at sf0.1.
+queries remain.  The ENTIRE registry (305 after the r6 batches) passed
+the typed foreign-session sweep at sf0.01 post-all-r6-changes
+(2026-08-15), and a 300-query sweep at sf0.1 (covering the full r7/r8
+never-graded region plus every graded module) also passed 300/300 —
+the r6-final additions (extras11/12) were sf0.1-verified individually.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
