@@ -305,3 +305,35 @@ def test_bloom_prefilter_accounting(spark):
         )
         assert abs(r["fp_rate"] - expect) < 1e-15
         assert 0.0 <= r["fp_rate"] <= 1.0
+
+
+# ---- batch 7 (extras13) ----
+
+
+def test_session_error_overlap_bounds(spark):
+    rows = QUERIES["event_session_error_overlap"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sessions"] >= 1
+        assert r["overlap_seconds"] >= 0.0
+        if r["n_error_islands"] == 0:
+            assert r["n_overlaps"] == 0 and r["overlap_seconds"] == 0.0
+        # union-merged islands: overlap can never exceed total session time
+        # (checked loosely: every overlap pair is a real intersection)
+        if r["n_overlaps"] > 0:
+            assert r["overlap_seconds"] > 0.0
+
+
+def test_decayed_leaderboard_ranking(spark):
+    rows = QUERIES["event_decayed_leaderboard"](spark, SF).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["decayed_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            # decayed score can never exceed the raw count (weights <= 1)
+            assert 0.0 < r["decayed_score"] <= r["raw_count"]
