@@ -101,8 +101,13 @@ def join_bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pos(col: Column, i: int) -> Column:
         return _h32(col.cast("string"), f"bloom{i}:") % _BLOOM_M
 
+    from project_fauna_spark.cache import cached
+
     cust = load_table(spark, sf_dir, "customer")
-    s = (
+    # s feeds the bloom build, the exact semi-join, and the FP audit;
+    # passed feeds two aggregates — persist both so the md5 position
+    # computation and the membership join run once, not per-consumer.
+    s = cached(
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
         .distinct()
@@ -131,7 +136,7 @@ def join_bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t"),
     ).select("o_orderkey", "o_custkey", "t.i", "t.pos")
-    passed = (
+    passed = cached(
         opos.join(F.broadcast(bloom), "pos")
         .groupBy("o_orderkey")
         .agg(
