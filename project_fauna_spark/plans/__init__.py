@@ -54,6 +54,7 @@ import project_fauna_spark.operators.extras10  # noqa: F401,E402
 import project_fauna_spark.operators.extras11  # noqa: F401,E402
 import project_fauna_spark.operators.extras12  # noqa: F401,E402
 import project_fauna_spark.operators.extras13  # noqa: F401,E402
+import project_fauna_spark.operators.extras14  # noqa: F401,E402
 # --- driver-green in rounds 2-5: back of the rotation ---
 import project_fauna_spark.operators.extras4  # noqa: F401,E402
 import project_fauna_spark.operators.graph  # noqa: F401,E402

@@ -337,3 +337,31 @@ def test_decayed_leaderboard_ranking(spark):
         for r in rs:
             # decayed score can never exceed the raw count (weights <= 1)
             assert 0.0 < r["decayed_score"] <= r["raw_count"]
+
+
+# ---- batch 8 (extras14) ----
+
+
+def test_dedup_mixture_shift_conserves(spark):
+    rows = QUERIES["llm_dedup_impact_on_mixture"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_raw"]
+        assert 0.0 <= r["share_raw"] <= 1.0 and 0.0 <= r["share_kept"] <= 1.0
+        assert abs(r["share_shift"] - (r["share_kept"] - r["share_raw"])) < 1e-15
+    # shares each sum to 1, so shifts sum to ~0
+    assert abs(sum(r["share_shift"] for r in rows)) < 1e-12
+    assert abs(sum(r["share_raw"] for r in rows) - 1.0) < 1e-12
+
+
+def test_conversion_window_sweep_monotone(spark):
+    rows = sorted(
+        QUERIES["event_conversion_window_sweep"](spark, SF).collect(),
+        key=lambda r: r["window_seconds"],
+    )
+    assert [r["window_seconds"] for r in rows] == [3600, 86400, 604800]
+    conv = [r["n_converted"] for r in rows]
+    assert conv == sorted(conv)  # wider window can only convert more
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_viewers"]
+        assert abs(r["conversion_rate"] - r["n_converted"] / r["n_viewers"]) < 1e-15
