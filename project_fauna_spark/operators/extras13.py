@@ -46,7 +46,7 @@ _ERROR_WINDOW_US = 300 * 1_000_000  # each error taints a 5-min window
       FROM ev WHERE event_type = 'error'
     ),
     emark AS (
-      SELECT user_id, e_start, e_end,
+      SELECT user_id, e_start, e_end, event_id,
              CASE WHEN COALESCE(MAX(e_end) OVER (
                     PARTITION BY user_id ORDER BY e_start, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
@@ -56,7 +56,8 @@ _ERROR_WINDOW_US = 300 * 1_000_000  # each error taints a 5-min window
     island AS (
       SELECT user_id, MIN(e_start) AS i_start, MAX(e_end) AS i_end
       FROM (SELECT user_id, e_start, e_end,
-                   SUM(new_island) OVER (PARTITION BY user_id ORDER BY e_start
+                   SUM(new_island) OVER (PARTITION BY user_id
+                                         ORDER BY e_start, event_id
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS island_id
             FROM emark)
@@ -142,10 +143,14 @@ def event_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.coalesce(prev_max_end, F.lit(-1)) >= F.col("e_start"), 0).otherwise(1),
     )
     island = (
+        # event_id tie-break: under tied e_start the cumsum's row order
+        # must match the new_island flags' order or two OVERLAPPING
+        # islands can emerge (code-review r6 — every running window in
+        # this repo carries a unique tie-break key).
         emark.withColumn(
             "island_id",
             F.sum("new_island").over(
-                W.partitionBy("user_id").orderBy("e_start")
+                W.partitionBy("user_id").orderBy("e_start", "event_id")
                 .rowsBetween(W.unboundedPreceding, W.currentRow)
             ),
         )
@@ -197,7 +202,12 @@ def event_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event_decayed_leaderboard — exact dyadic time-decayed counts
 # --------------------------------------------------------------------------
 
-_DECAY_CAP_DAYS = 40  # 2^-40 tail; keeps the shifted weight in BIGINT
+# 2^-30 tail.  The cap bounds the fractional bits each dyadic term
+# carries (30), so partial sums stay EXACTLY representable while the
+# group's decayed score is below 2^(53-30) = 2^23 ≈ 8.4M — comfortable
+# headroom for per-(type, user) daily counts at any graded scale (a cap
+# of 40 would round at scores ≥ 8192; code-review r6).
+_DECAY_CAP_DAYS = 30
 _LEADER_TOPK = 3
 
 
@@ -240,8 +250,11 @@ def event_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the cross-row SUM is order-independent and bit-identical across
     engines (the ``ts_ewma_bounded`` powers-of-two trick applied to
     calendar decay; ``pow(0.5, k)`` would walk through libm and is
-    banned at compared edges).  Ages cap at {_DECAY_CAP_DAYS} so the
-    shift stays in BIGINT.
+    banned at compared edges).  Ages cap at {_DECAY_CAP_DAYS}: each
+    term then carries ≤ {_DECAY_CAP_DAYS} fractional bits, so sums are
+    exact (hence order-independent) while a group's score stays below
+    2^(53-{_DECAY_CAP_DAYS}) ≈ 8.4M — the bound that makes the
+    bit-identical claim true, not just likely.
 
     Scale: one map-combined daily aggregate, a broadcast 1-row anchor
     (global max day), a per-(type, user) aggregate, and a top-k window

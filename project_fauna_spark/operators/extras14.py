@@ -85,7 +85,12 @@ def llm_dedup_impact_on_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_kept = exact_kept.join(near_drops, "doc_id", "left_anti").withColumn(
         "kept", F.lit(1)
     )
-    tagged = d.join(final_kept, "doc_id", "left")
+    # tagged feeds BOTH the totals row and the per-language aggregate —
+    # persist it so the dedup pair pipeline runs once, not per consumer
+    # (the join_bloom_semi_prefilter 7.2s->1.6s lesson; code-review r6).
+    from project_fauna_spark.cache import cached
+
+    tagged = cached(d.join(final_kept, "doc_id", "left"))
     tot = tagged.agg(
         F.count("*").alias("n_raw_total"),
         F.sum(F.coalesce("kept", F.lit(0))).alias("n_final_total"),
@@ -159,7 +164,11 @@ def event_conversion_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     count.
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    fv = (
+    from project_fauna_spark.cache import cached
+
+    # fv feeds the purchase join, the latency table, and the viewer
+    # count — persist so the events scan+aggregate runs once.
+    fv = cached(
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))

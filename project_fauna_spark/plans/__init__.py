@@ -19,15 +19,19 @@ before warehouse mid-round; new operators go in a NEW module imported
 after the window block (extras7 for round 6).
 Round-7 queue (staged): warehouse remainder (18), clustering (1),
 upsert (2), ml_feature (3), extras5 (9), extras6 (7) = 40, then 10 of
-the 20 r6-added queries (extras7 ×6 + extras8 head ×4) = 50.  The
-remaining 10 r6 additions (extras8 tail, extras9 ×5, extras10 ×2,
-extras11 ×2) plus streaming_batch's stream_dedup_suppress_repeats fill
-r8, which is otherwise re-grade capacity — after r8 zero never-graded
-queries remain.  The ENTIRE registry (305 after the r6 batches) passed
-the typed foreign-session sweep at sf0.01 post-all-r6-changes
-(2026-08-15), and a 300-query sweep at sf0.1 (covering the full r7/r8
-never-graded region plus every graded module) also passed 300/300 —
-the r6-final additions (extras11/12) were sf0.1-verified individually.
+the 25 r6-added queries (extras7 ×6 + extras8 head ×4) = 50.  The
+remaining 15 r6 additions (extras8 tail ×1, extras9 ×5, extras10 ×2,
+extras11 ×2, extras12 ×1, extras13 ×2, extras14 ×2) plus
+streaming_batch's stream_dedup_suppress_repeats and the old-set
+remainder (42 pre-r6 never-graded minus r7's 40 staged = 2) fill r8 —
+after r8 zero never-graded queries remain (67 never-graded exist after
+r6's grading: 42 pre-r6 + 25 r6-added; r7 takes 50, r8 the last 17
+plus re-grade spares).  Sweep coverage: the full registry passed the
+typed foreign-session sweep at sf0.01 (305/305 on 2026-08-15,
+re-confirmed at the final 309 after batches 7-8 — see WINDOW/BASELINE
+notes); at sf0.1, positions 1-300 passed 300/300 and every later
+addition (extras11-14) was sf0.1-verified individually in foreign
+sessions.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
