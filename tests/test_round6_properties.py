@@ -365,3 +365,71 @@ def test_conversion_window_sweep_monotone(spark):
     for r in rows:
         assert 0 <= r["n_converted"] <= r["n_viewers"]
         assert abs(r["conversion_rate"] - r["n_converted"] / r["n_viewers"]) < 1e-15
+
+
+# ---- batch 9 (extras15) ----
+
+
+def test_pmi_collocations_consistency(spark):
+    import math
+
+    rows = QUERIES["text_pmi_collocations"](spark, SF).collect()
+    assert 0 < len(rows) <= 25
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        w1, w2 = r["pair"].split(" ")
+        assert r["n_ab"] >= 5
+        # marginals bound the joint
+        assert r["n_ab"] <= r["n_a"] and r["n_ab"] <= r["n_b"]
+        assert r["lift"] > 0.0 and math.isfinite(r["lift"])
+
+
+def test_pareto_skyline_dominance(spark):
+    frontier = QUERIES["q_pareto_skyline"](spark, SF).collect()
+    assert frontier
+    pts = [(r["p_retailprice"], r["p_size"]) for r in frontier]
+    # no frontier point dominates another frontier point
+    for i, (pi, si) in enumerate(pts):
+        for j, (pj, sj) in enumerate(pts):
+            if i != j:
+                assert not (
+                    pj <= pi and sj >= si and (pj < pi or sj > si)
+                ), f"{pts[j]} dominates {pts[i]}"
+    # every non-frontier part is dominated by some frontier point
+    from project_fauna_spark.io import load_table
+
+    keys = {r["p_partkey"] for r in frontier}
+    others = (
+        load_table(spark, SF, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    )
+    for r in others:
+        if r["p_partkey"] in keys:
+            continue
+        assert any(
+            p <= r["p_retailprice"]
+            and s >= r["p_size"]
+            and (p < r["p_retailprice"] or s > r["p_size"])
+            for p, s in pts
+        ), f"part {r['p_partkey']} not dominated"
+
+
+def test_winsorized_trimmed_mean_bounds(spark):
+    (r,) = QUERIES["agg_winsorized_trimmed_mean"](spark, SF).collect()
+    assert r["n_rows"] > 0
+    assert r["lo_cut"] <= r["hi_cut"]
+    # both robust means live inside the cut interval
+    for c in ("mean_winsor", "mean_trimmed"):
+        assert r["lo_cut"] <= r[c] <= r["hi_cut"]
+    # exact cut ranks: ~5% of mass strictly below lo, ~5% strictly above hi
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem")
+    n_below = li.filter(F.col("l_extendedprice") < r["lo_cut"]).count()
+    n_above = li.filter(F.col("l_extendedprice") > r["hi_cut"]).count()
+    n = r["n_rows"]
+    assert n_below <= (n + 19) // 20  # at most k_lo rows strictly below
+    assert n_above <= n - (19 * n) // 20
