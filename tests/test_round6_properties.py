@@ -433,3 +433,46 @@ def test_winsorized_trimmed_mean_bounds(spark):
     n = r["n_rows"]
     assert n_below <= (n + 19) // 20  # at most k_lo rows strictly below
     assert n_above <= n - (19 * n) // 20
+
+
+# ---- batch 10 (extras16) ----
+
+
+def test_acf_daily_range_and_lag1_sanity(spark):
+    rows = QUERIES["ts_acf_daily"](spark, SF).collect()
+    lags = sorted(r["lag"] for r in rows)
+    assert set(lags) <= {1, 2, 3, 7}
+    npair = {r["lag"]: r["n_pairs"] for r in rows}
+    # more lag => no more pairs (calendar shrinks)
+    for a, b in zip(lags, lags[1:]):
+        assert npair[b] <= npair[a]
+    for r in rows:
+        assert -1.0 - 1e-12 <= r["acf"] <= 1.0 + 1e-12
+        assert r["n_pairs"] >= 2
+
+
+def test_leakage_audit_consistency(spark):
+    (r,) = QUERIES["ml_leakage_naive_vs_asof"](spark, SF).collect()
+    assert r["n_anchors"] > 0
+    assert 0 <= r["n_with_prior"] <= r["n_anchors"]
+    assert 0 <= r["n_leaky"] <= r["n_anchors"]
+    assert abs(r["leak_rate"] - r["n_leaky"] / r["n_anchors"]) < 1e-15
+    if r["n_with_prior"] > 0:
+        assert r["avg_abs_drift"] is not None and r["avg_abs_drift"] >= 0.0
+    # cross-check n_leaky against a direct computation
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "events")
+    last_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_view_ts"))
+    )
+    direct = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(last_view, "user_id", "left")
+        .filter(F.col("last_view_ts") >= F.col("ts"))
+        .count()
+    )
+    assert r["n_leaky"] == direct
