@@ -476,3 +476,49 @@ def test_leakage_audit_consistency(spark):
         .count()
     )
     assert r["n_leaky"] == direct
+
+
+# ---- batch 11 (extras17) ----
+
+
+def test_km_survival_monotone_and_exact(spark):
+    rows = sorted(
+        QUERIES["event_survival_km"](spark, SF).collect(),
+        key=lambda r: r["t_hours"],
+    )
+    assert rows
+    # survival is a non-increasing step function in (0, 1]
+    surv = [r["survival"] for r in rows]
+    assert all(a >= b - 1e-15 for a, b in zip(surv, surv[1:]))
+    assert all(0.0 < s <= 1.0 for s in surv)
+    # at-risk counts strictly decrease; replay the product exactly
+    risk = [r["n_risk"] for r in rows]
+    assert all(a > b for a, b in zip(risk, risk[1:]))
+    acc = 1.0
+    for r in rows:
+        assert r["n_converted"] >= 1
+        assert abs(r["hazard"] - r["n_converted"] / r["n_risk"]) < 1e-15
+        acc = acc * (1.0 - r["n_converted"] / r["n_risk"])
+        assert r["survival"] == acc  # bit-exact fold replay
+        assert 0 <= r["t_hours"] <= 24
+
+
+def test_ks_two_sample_bounds(spark):
+    (r,) = QUERIES["dq_ks_two_sample"](spark, SF).collect()
+    assert r["n_a"] > 0 and r["n_r"] > 0
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    # the reported argmax value really achieves the reported gap
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    x0 = r["ks_at_value"]
+    c1 = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_extendedprice") <= x0)
+    ).count()
+    c0 = li.filter(
+        (F.col("l_returnflag") == "A") & (F.col("l_extendedprice") <= x0)
+    ).count()
+    assert abs(abs(c1 / r["n_r"] - c0 / r["n_a"]) - r["ks_stat"]) < 1e-12
