@@ -74,13 +74,20 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary → broadcast-sized at any corpus scale).
     """
     d = load_table(spark, sf_dir, "documents").select("text")
-    pairs = d.select(F.explode(word_bigrams(F.col("text"))).alias("pair")).select(
-        "pair",
-        F.split(F.col("pair"), " ").getItem(0).alias("w1"),
-        F.split(F.col("pair"), " ").getItem(1).alias("w2"),
-    )
+    pairs = d.select(F.explode(word_bigrams(F.col("text"))).alias("pair"))
+    # group by the bare pair (w1/w2 are pure functions of it — deriving
+    # them BEFORE the aggregate would double every shuffled row's width
+    # through the corpus-sized explode); split on the vocab²-sized
+    # distinct table instead.
     ab_full = cached(
-        pairs.groupBy("pair", "w1", "w2").agg(F.count("*").alias("n_ab"))
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_ab"))
+        .select(
+            "pair",
+            F.split(F.col("pair"), " ").getItem(0).alias("w1"),
+            F.split(F.col("pair"), " ").getItem(1).alias("w2"),
+            "n_ab",
+        )
     )
     ab = ab_full.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
     a = ab_full.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
@@ -172,14 +179,13 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy().orderBy("bkt").rowsBetween(W.unboundedPreceding, -1))
         .alias("bucket_prev"),
     )
-    prev_eff = F.greatest(
-        F.coalesce(local_prev, F.lit(-1)),
-        F.coalesce(F.col("bucket_prev"), F.lit(-1)),
-    )
+    # greatest() skips NULLs (null only when BOTH are null — the global
+    # head row), so no sentinel value is assumed for the p_size domain.
+    prev_eff = F.greatest(local_prev, F.col("bucket_prev"))
     frontier = (
         per_p.join(F.broadcast(bprev), "bkt")
         .withColumn("_prev", prev_eff)
-        .filter(F.col("max_size") > F.col("_prev"))
+        .filter(F.col("_prev").isNull() | (F.col("max_size") > F.col("_prev")))
         .select("p_retailprice", "max_size")
     )
     return (
@@ -247,14 +253,16 @@ def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cached(
         li.withColumn("bkt", F.floor(F.col("x") / F.lit(4096.0)).cast("long"))
     )
-    offs = bucket_offsets(b, [], "bkt", F.lit(1), total_alias="n_total")
+    offs = bucket_offsets(
+        b, [], "bkt", F.lit(1), total_alias="n_total", bucket_total_alias="bn"
+    )
     # Order-statistic PRUNING: only the (≤2) buckets whose [offset,
     # offset+bn] interval straddles a cut rank need sorting at all —
     # every other bucket is filtered out BEFORE the rank window, so
-    # the windowed sort touches ~1/n_buckets of the data.
-    bcnt = b.groupBy("bkt").agg(F.count("*").alias("bn"))
+    # the windowed sort touches ~1/n_buckets of the data.  bn comes
+    # free from the offsets aggregate — no second groupBy pass.
     sel = (
-        offs.join(bcnt, "bkt")
+        offs
         .withColumn("k_lo", F.expr("(n_total + 19) div 20"))
         .withColumn("k_hi", F.expr("(19 * n_total) div 20"))
         .filter(

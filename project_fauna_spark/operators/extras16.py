@@ -183,16 +183,23 @@ def ml_leakage_naive_vs_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a decimal-accumulated mean.
     """
     e = load_table(spark, sf_dir, "events")
-    anchors = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("anchor_id"),
-        "user_id",
-        F.col("ts").alias("anchor_ts"),
+    # anchors feeds the as-of join AND the final left joins; views feeds
+    # the naive aggregate AND the as-of join — persist both filtered
+    # projections so the events scan runs once per side, not twice.
+    anchors = cached(
+        e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("anchor_id"),
+            "user_id",
+            F.col("ts").alias("anchor_ts"),
+        )
     )
-    views = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("v_ts"),
-        F.col("event_id").alias("v_id"),
-        F.col("value").alias("v_value"),
+    views = cached(
+        e.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+            F.col("value").alias("v_value"),
+        )
     )
     naive = views.groupBy("v_user").agg(
         F.max(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.cache import cached
-from project_fauna_spark.functions.ranks import bucket_offsets
+from project_fauna_spark.functions.ranks import bucket_offsets_multi
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -106,8 +106,13 @@ def event_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     Durations are exact integer hours (µs integer division).
     """
     e = load_table(spark, sf_dir, "events")
-    fv = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("fts")
+    # fv feeds the purchase join AND the left join below — persist so
+    # the events scan + user-keyed MIN runs once (the
+    # event_conversion_window_sweep convention).
+    fv = cached(
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fts"))
     )
     fp = (
         e.filter(F.col("event_type") == "purchase")
@@ -227,8 +232,9 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The empirical CDFs are cumulative counts over the DISTINCT-value
     frame, run two-phase (bucket-local cumsums over floor(x/4096)
-    buckets + broadcast ``bucket_offsets`` — one call per group count,
-    never a global sort window on raw data).  Counts stay integers
+    buckets + ONE broadcast ``bucket_offsets_multi`` pass covering both
+    groups — never a global sort window on raw data).  Counts stay
+    integers
     until the two CDF divisions; the argmax ties break to the smallest
     x via a struct max over (gap, −x) in both engines.  Scale: one
     value-keyed aggregate + tiny broadcasts.
@@ -249,21 +255,24 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bkt", F.floor(F.col("x") / F.lit(4096.0)).cast("long"))
     )
-    off1 = bucket_offsets(dist, [], "bkt", F.col("n1"), total_alias="t1")
-    off0 = bucket_offsets(dist, [], "bkt", F.col("n0"), total_alias="t0").select(
-        "bkt", F.col("offset").alias("offset0"), "t0"
+    # Both CDFs' offsets come from ONE aggregate pass over the cached
+    # distinct-value frame (not one bucket_offsets call per group).
+    offs = bucket_offsets_multi(
+        dist,
+        [],
+        "bkt",
+        [(F.col("n1"), "offset1", "t1"), (F.col("n0"), "offset0", "t0")],
     )
     w_loc = (
         W.partitionBy("bkt").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
     )
     c = (
-        dist.join(F.broadcast(off1), "bkt")
-        .join(F.broadcast(off0), "bkt")
+        dist.join(F.broadcast(offs), "bkt")
         .select(
             "x",
             "t1",
             "t0",
-            (F.col("offset") + F.sum("n1").over(w_loc)).alias("c1"),
+            (F.col("offset1") + F.sum("n1").over(w_loc)).alias("c1"),
             (F.col("offset0") + F.sum("n0").over(w_loc)).alias("c0"),
         )
     )

@@ -443,9 +443,23 @@ def test_acf_daily_range_and_lag1_sanity(spark):
     lags = sorted(r["lag"] for r in rows)
     assert set(lags) <= {1, 2, 3, 7}
     npair = {r["lag"]: r["n_pairs"] for r in rows}
-    # more lag => no more pairs (calendar shrinks)
-    for a, b in zip(lags, lags[1:]):
-        assert npair[b] <= npair[a]
+    # exact pair counts from the actual day set — robust to calendar
+    # gaps in regenerated testdata (monotone-in-lag only holds gap-free)
+    import datetime
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "events")
+    days = {
+        r["d"]
+        for r in e.select(F.to_date("ts").alias("d")).distinct().collect()
+    }
+    for k in lags:
+        expected = sum(
+            1 for d in days if d + datetime.timedelta(days=k) in days
+        )
+        assert npair[k] == expected, f"lag {k}: {npair[k]} != {expected}"
     for r in rows:
         assert -1.0 - 1e-12 <= r["acf"] <= 1.0 + 1e-12
         assert r["n_pairs"] >= 2
