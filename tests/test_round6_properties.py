@@ -536,3 +536,121 @@ def test_ks_two_sample_bounds(spark):
         (F.col("l_returnflag") == "A") & (F.col("l_extendedprice") <= x0)
     ).count()
     assert abs(abs(c1 / r["n_r"] - c0 / r["n_a"]) - r["ks_stat"]) < 1e-12
+
+
+# ---- batch 12 (extras18) ----
+
+
+def test_crosscorr_bounds_and_brute_force(spark):
+    rows = QUERIES["ts_crosscorr_daily"](spark, SF).collect()
+    assert rows
+    got = {r["lag"]: r for r in rows}
+    assert set(got) <= {0, 1, 2, 3, 7}
+    for r in rows:
+        assert -1.0 - 1e-12 <= r["xcorr"] <= 1.0 + 1e-12
+        assert r["n_pairs"] >= 2
+    # brute-force replay from the raw daily series (union calendar,
+    # zero-filled) — robust to calendar gaps in regenerated testdata
+    import datetime
+    import math
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    daily = {
+        r["day"]: (r["x"], r["y"])
+        for r in load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+        )
+        .collect()
+    }
+    for k, r in got.items():
+        pairs = [
+            (daily[d][0], daily[d + datetime.timedelta(days=k)][1])
+            for d in daily
+            if d + datetime.timedelta(days=k) in daily
+        ]
+        assert r["n_pairs"] == len(pairs)
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        expected = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert abs(r["xcorr"] - expected) < 1e-12
+
+
+def test_best_f1_confusion_and_optimality(spark):
+    rows = QUERIES["ml_best_f1_threshold"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    scored = (
+        load_table(spark, SF, "embeddings")
+        .select(
+            F.col("embedding").getItem(0).cast("double").alias("score"),
+            "label",
+        )
+        .collect()
+    )
+    assert len(rows) == len({r["label"] for r in scored})
+    for r in rows:
+        # internal consistency of the reported operating point
+        assert r["tp"] + r["fn"] == r["n_pos"]
+        assert r["tp"] >= 0 and r["fp"] >= 0 and r["fn"] >= 0
+        assert abs(r["precision_at"] - r["tp"] / (r["tp"] + r["fp"])) < 1e-15
+        assert abs(r["recall_at"] - r["tp"] / r["n_pos"]) < 1e-15
+        assert (
+            abs(r["f1"] - 2 * r["tp"] / (2 * r["tp"] + r["fp"] + r["fn"]))
+            < 1e-15
+        )
+        # brute-force optimality: no threshold beats the reported F1
+        lbl = r["label"]
+        pos = sorted(s["score"] for s in scored if s["label"] == lbl)
+        alls = sorted(s["score"] for s in scored)
+        best = 0.0
+        for t in sorted(set(alls)):
+            tp = sum(1 for s in pos if s >= t)
+            pp = sum(1 for s in alls if s >= t)
+            best = max(best, 2 * tp / (pp + len(pos)))
+        assert abs(r["f1"] - best) < 1e-12
+        # the reported threshold is an actually-occurring score
+        assert r["threshold"] in set(alls)
+
+
+def test_weekday_profile_exact_replay(spark):
+    rows = QUERIES["ts_weekday_profile"](spark, SF).collect()
+    assert rows and len(rows) <= 7
+    assert {r["iso_dow"] for r in rows} <= set(range(1, 8))
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    nd, ne = Counter(), Counter()
+    for r in daily:
+        iso = r["day"].isoweekday()
+        nd[iso] += 1
+        ne[iso] += r["n"]
+    td, te = sum(nd.values()), sum(ne.values())
+    for r in rows:
+        k = r["iso_dow"]
+        assert r["n_days"] == nd[k]
+        assert r["n_events"] == ne[k]
+        assert r["avg_events"] == ne[k] / nd[k]  # single IEEE division
+        assert abs(r["seasonal_index"] - (ne[k] / nd[k]) / (te / td)) < 1e-15
