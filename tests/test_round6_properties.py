@@ -654,3 +654,94 @@ def test_weekday_profile_exact_replay(spark):
         assert r["n_events"] == ne[k]
         assert r["avg_events"] == ne[k] / nd[k]  # single IEEE division
         assert abs(r["seasonal_index"] - (ne[k] / nd[k]) / (te / td)) < 1e-15
+
+
+# ---- batch 13 (extras19) ----
+
+
+def test_reorder_gap_direct_replay(spark):
+    rows = QUERIES["q_customer_reorder_gap"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    orders = (
+        load_table(spark, SF, "orders")
+        .select("o_custkey", F.to_date("o_orderdate").alias("od"))
+        .collect()
+    )
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    by_cust = defaultdict(list)
+    for r in orders:
+        by_cust[r["o_custkey"]].append(r["od"])
+    gaps = defaultdict(list)
+    custs = defaultdict(set)
+    for ck, ds in by_cust.items():
+        ds.sort()
+        for a, b in zip(ds, ds[1:]):
+            gaps[seg[ck]].append((b - a).days)
+            custs[seg[ck]].add(ck)
+    for r in rows:
+        s = r["c_mktsegment"]
+        assert r["n_gaps"] == len(gaps[s])
+        assert r["n_customers"] == len(custs[s])
+        assert r["max_gap_days"] == max(gaps[s])
+        assert abs(r["avg_gap_days"] - sum(gaps[s]) / len(gaps[s])) < 1e-9
+    assert {r["c_mktsegment"] for r in rows} == set(gaps)
+
+
+def test_holt_fold_bitexact_replay(spark):
+    rows = sorted(
+        QUERIES["ts_holt_linear_forecast"](spark, SF).collect(),
+        key=lambda r: r["h"],
+    )
+    assert [r["h"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    daily = sorted(
+        (r["day"], r["n"])
+        for r in load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    l = b = None
+    for i, (_, y) in enumerate(daily):
+        if i == 0:
+            l, b = float(y), 0.0
+        else:
+            l_new = (y + (l + b)) / 2
+            b = ((l_new - l) + b) / 2
+            l = l_new
+    for r in rows:
+        assert r["n_days"] == len(daily)
+        assert r["level"] == l  # bit-exact fold replay
+        assert r["trend"] == b
+        assert r["forecast"] == l + r["h"] * b
+
+
+def test_backlog_aging_partition(spark):
+    rows = QUERIES["q_orders_backlog_aging"](spark, SF).collect()
+    assert rows
+    bounds = {"00-30d": (0, 30), "31-90d": (31, 90),
+              "91-365d": (91, 365), "365d+": (366, None)}
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF, "orders")
+    n_open = o.filter(F.col("o_orderstatus").isin("O", "P")).count()
+    assert sum(r["n_orders"] for r in rows) == n_open
+    for r in rows:
+        lo, hi = bounds[r["age_bucket"]]
+        assert lo <= r["avg_age_days"] <= (hi if hi is not None else 1e9)
+        assert r["max_age_days"] <= (hi if hi is not None else 1e9)
+        assert r["open_value"] > 0.0
