@@ -745,3 +745,89 @@ def test_backlog_aging_partition(spark):
         assert lo <= r["avg_age_days"] <= (hi if hi is not None else 1e9)
         assert r["max_age_days"] <= (hi if hi is not None else 1e9)
         assert r["open_value"] > 0.0
+
+
+# ---- batch 14 (extras20) ----
+
+
+def test_silhouette_bounds_and_python_replay(spark):
+    rows = QUERIES["sim_silhouette_centroid"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    vecs = load_table(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    assert sum(r["n_vecs"] for r in rows) == len(vecs)
+    by_label = defaultdict(list)
+    for v in vecs:
+        by_label[v["label"]].append([float(x) for x in v["embedding"]])
+    cent = {
+        lbl: [sum(col) / len(vs) for col in zip(*vs)]
+        for lbl, vs in by_label.items()
+    }
+    import math
+
+    def dist(a, c):
+        return math.sqrt(sum((x - y) * (x - y) for x, y in zip(a, c)))
+
+    sil = defaultdict(list)
+    for v in vecs:
+        emb = [float(x) for x in v["embedding"]]
+        a = dist(emb, cent[v["label"]])
+        b = min(
+            dist(emb, c) for lbl, c in cent.items() if lbl != v["label"]
+        )
+        m = max(a, b)
+        sil[v["label"]].append(0.0 if m == 0 else (b - a) / m)
+    for r in rows:
+        ss = sil[r["label"]]
+        assert r["n_vecs"] == len(ss)
+        assert -1.0 - 1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
+        # float-order differences between the two-level fold and the
+        # naive Python mean stay tiny at this scale
+        assert abs(r["mean_silhouette"] - sum(ss) / len(ss)) < 1e-6
+        assert abs(r["n_negative"] - sum(1 for s in ss if s < 0)) <= 0
+
+
+def test_lorenz_curve_shape(spark):
+    rows = sorted(
+        QUERIES["agg_lorenz_deciles"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    from project_fauna_spark.io import load_table
+
+    n = (
+        load_table(spark, SF, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n
+    # exact-rank deciles: sizes differ by at most 1
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    cums = [r["cum_share"] for r in rows]
+    assert all(a < b for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-12
+    # Lorenz dominance: bottom-k customers hold at most k/n of value
+    pop = 0
+    for r in rows:
+        pop += r["n_customers"]
+        assert r["cum_share"] <= pop / n + 1e-12
+        assert abs(sum(x["decile_share"] for x in rows) - 1.0) < 1e-12
+        assert r["decile_value"] > 0.0
+
+
+def test_lead_time_totals_and_order(spark):
+    rows = QUERIES["q_supplier_lead_time"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+
+    n_lines = load_table(spark, SF, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == n_lines
+    for r in rows:
+        assert r["min_lead_days"] <= r["avg_lead_days"] <= r["max_lead_days"]
