@@ -831,3 +831,82 @@ def test_lead_time_totals_and_order(spark):
     assert sum(r["n_lines"] for r in rows) == n_lines
     for r in rows:
         assert r["min_lead_days"] <= r["avg_lead_days"] <= r["max_lead_days"]
+
+
+# ---- batch 15 (extras21) ----
+
+
+def test_heaps_diagnostic_replay(spark):
+    rows = QUERIES["text_heaps_diagnostic"](spark, SF).collect()
+    assert rows
+    import math
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents").select("lang", "text").collect()
+    by_lang = defaultdict(list)
+    for d in docs:
+        ws = d["text"].split(" ")
+        by_lang[d["lang"]].append((len(ws), len(set(ws))))
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        pts = by_lang[r["lang"]]
+        assert r["n_docs"] == len(pts)
+        assert r["total_tokens"] == sum(x for x, _ in pts)
+        assert r["total_distinct"] == sum(y for _, y in pts)
+        assert r["total_distinct"] <= r["total_tokens"]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx > 0 and dy > 0:
+            expect = (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy))
+            assert abs(r["len_vocab_corr"] - expect) < 1e-12
+            assert -1.0 - 1e-12 <= r["len_vocab_corr"] <= 1.0 + 1e-12
+        else:
+            assert r["len_vocab_corr"] is None
+
+
+def test_seasonal_anomaly_replay(spark):
+    rows = QUERIES["dq_seasonal_adjusted_anomaly"](spark, SF).collect()
+    assert len(rows) == 5
+    zs = [abs(r["z"]) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    import math
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    daily = {
+        r["day"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    nd, ne = Counter(), Counter()
+    for d, n in daily.items():
+        nd[d.isoweekday()] += 1
+        ne[d.isoweekday()] += n
+    td, te = sum(nd.values()), sum(ne.values())
+    ais = {}
+    for d, n in daily.items():
+        k = d.isoweekday()
+        idx = (ne[k] / nd[k]) / (te / td)
+        ais[d] = math.floor((n / idx) * 1_000_000)
+    np_, m1 = len(ais), sum(ais.values())
+    m2 = sum(a * a for a in ais.values())
+    den = math.sqrt(np_ * m2 - m1 * m1)
+    best = sorted(
+        ((abs((np_ * a - m1) / den), d) for d, a in ais.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [r["day"] for r in rows] == [d for _, d in best]
+    for r in rows:
+        expect = (np_ * ais[r["day"]] - m1) / den
+        assert abs(r["z"] - expect) < 1e-9
+        assert r["n"] == daily[r["day"]]
