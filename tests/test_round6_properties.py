@@ -910,3 +910,55 @@ def test_seasonal_anomaly_replay(spark):
         expect = (np_ * ais[r["day"]] - m1) / den
         assert abs(r["z"] - expect) < 1e-9
         assert r["n"] == daily[r["day"]]
+
+
+# ---- batch 16 (extras22) ----
+
+
+def test_substitution_candidates_valid(spark):
+    rows = QUERIES["q_part_substitution_candidates"](spark, SF).collect()
+    assert rows
+    savings = [r["savings"] for r in rows]
+    assert savings == sorted(savings, reverse=True)
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    parts = load_table(spark, SF, "part").select(
+        "p_partkey", "p_type", "p_size", "p_retailprice"
+    ).collect()
+    groups = defaultdict(list)
+    for p in parts:
+        groups[(p["p_type"], p["p_size"])].append(
+            (p["p_retailprice"], p["p_partkey"])
+        )
+    price = {p["p_partkey"]: p["p_retailprice"] for p in parts}
+    for r in rows:
+        # the alternative really is the cheapest OTHER part in-group
+        g = sorted(groups[(r["p_type"], r["p_size"])])
+        others = [t for t in g if t[1] != r["p_partkey"]]
+        assert others
+        assert (r["alt_price"], r["alt_partkey"]) == others[0]
+        assert r["savings"] == r["p_retailprice"] - r["alt_price"] > 0
+        assert price[r["p_partkey"]] == r["p_retailprice"]
+
+
+def test_join_fanout_profile_totals(spark):
+    rows = QUERIES["dq_join_fanout_profile"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+
+    n_orders = load_table(spark, SF, "orders").count()
+    n_lines = load_table(spark, SF, "lineitem").count()
+    # orphan lineitems (no parent order) are excluded by construction
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    ok = load_table(spark, SF, "orders").select("o_orderkey")
+    n_orphan = li.join(
+        ok, li.l_orderkey == ok.o_orderkey, "left_anti"
+    ).count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert sum(r["n_lines"] for r in rows) == n_lines - n_orphan
+    assert abs(sum(r["share_of_orders"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r["n_lines"] == r["fanout"] * r["n_orders"]
+        assert r["fanout"] >= 0
