@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.cache import cached
+from project_fauna_spark.functions.moments import (
+    int_pearson_moments,
+    pearson_terms,
+)
 from project_fauna_spark.functions.ranks import bucket_offsets_multi
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
@@ -97,28 +101,14 @@ def ts_crosscorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("b_day", F.expr("date_add(a_day, lag)"))
         .join(bset, "b_day")
     )
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
-    m = pairs.groupBy("lag").agg(
-        F.count("*").alias("np_l"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
-        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
-        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
-    )
-    np_d = F.col("np_l").cast("decimal(38,0)")
-    num = np_d * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = np_d * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = np_d * F.col("syy") - F.col("sy") * F.col("sy")
+    m = int_pearson_moments(pairs, ["lag"])
+    _, dx, dy, corr = pearson_terms()
     return (
         m.filter((dx > 0) & (dy > 0))
         .select(
             F.col("lag").cast("long").alias("lag"),
             F.col("np_l").cast("long").alias("n_pairs"),
-            (
-                num.cast("double")
-                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
-            ).alias("xcorr"),
+            corr.alias("xcorr"),
         )
     )
 
@@ -329,11 +319,15 @@ def ts_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count("*").alias("n"))
     )
-    wd = daily.groupBy(
-        (F.expr("weekday(day)") + F.lit(1)).cast("long").alias("iso_dow")
-    ).agg(
-        F.count("*").alias("n_days"),
-        F.sum("n").alias("n_events"),
+    # wd feeds the totals aggregate AND the final select — persist the
+    # ≤7-row frame so the events scan + daily aggregate runs once.
+    wd = cached(
+        daily.groupBy(
+            (F.expr("weekday(day)") + F.lit(1)).cast("long").alias("iso_dow")
+        ).agg(
+            F.count("*").alias("n_days"),
+            F.sum("n").alias("n_events"),
+        )
     )
     tot = wd.agg(
         F.sum("n_days").alias("td"), F.sum("n_events").alias("te")

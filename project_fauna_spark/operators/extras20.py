@@ -10,6 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.functions.centroids import (
+    label_centroids,
+    sql_centroid_ctes,
+)
 from project_fauna_spark.functions.ranks import bucket_offsets_multi
 from project_fauna_spark.functions.vectors import euclidean_dist
 from project_fauna_spark.io import load_table
@@ -21,8 +25,6 @@ from project_fauna_spark.plans.registry import register, davg, sql_davg
 
 _FOLD_K = 256  # the sim_label_centroid two-level fold width
 
-_SQL_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-_SQL_ZIPADD = "list_transform(range(1, len(a)+1), k -> a[k] + b[k])"
 _SQL_SQDIST = (
     "sqrt(list_reduce(list_transform(range(1, len({a})+1),"
     " k -> ({a}[k] - {b}[k]) * ({a}[k] - {b}[k])), (x, y) -> x + y))"
@@ -32,21 +34,7 @@ _SQL_SQDIST = (
 @register(
     "sim_silhouette_centroid",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings),
-    b AS (
-      SELECT label, vec_id // {_FOLD_K} AS bkt,
-             list_reduce(list(emb ORDER BY vec_id), (a, b) -> {_SQL_ZIPADD})
-               AS part,
-             COUNT(*) AS n1
-      FROM e GROUP BY label, vec_id // {_FOLD_K}
-    ),
-    g AS (
-      SELECT label,
-             list_reduce(list(part ORDER BY bkt), (a, b) -> {_SQL_ZIPADD}) AS s,
-             CAST(SUM(n1) AS BIGINT) AS n
-      FROM b GROUP BY label
-    ),
-    cent AS (SELECT label, list_transform(s, x -> x / n) AS centroid FROM g),
+    WITH {sql_centroid_ctes(_FOLD_K)},
     d AS (
       SELECT e.vec_id, e.label, c.label AS clabel,
              {_SQL_SQDIST.format(a='e.emb', b='c.centroid')} AS dist
@@ -92,39 +80,8 @@ def sim_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     demb = F.transform("embedding", lambda x: x.cast("double"))
-
-    def _fold_sorted(col: str):
-        embs = F.transform(F.array_sort(F.col(col)), lambda s: s.emb)
-        return F.aggregate(
-            F.slice(embs, 2, F.size(embs) - 1),
-            F.element_at(embs, 1),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        )
-
-    lvl1 = (
-        e.groupBy("label", F.expr(f"vec_id div {_FOLD_K}").alias("bkt"))
-        .agg(
-            F.collect_list(
-                F.struct(F.col("vec_id"), demb.alias("emb"))
-            ).alias("vs"),
-            F.count("*").alias("n1"),
-        )
-        .select("label", "bkt", _fold_sorted("vs").alias("part"), "n1")
-    )
-    cent = (
-        lvl1.groupBy("label")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("bkt").alias("vec_id"), F.col("part").alias("emb"))
-            ).alias("ps"),
-            F.sum("n1").alias("n"),
-        )
-        .select(
-            F.col("label").alias("clabel"),
-            F.transform(_fold_sorted("ps"), lambda x: x / F.col("n")).alias(
-                "centroid"
-            ),
-        )
+    cent = label_centroids(e, _FOLD_K).select(
+        F.col("label").alias("clabel"), "centroid"
     )
     d = e.select("vec_id", "label", demb.alias("emb")).crossJoin(
         F.broadcast(cent)

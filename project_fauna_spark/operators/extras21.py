@@ -10,6 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from project_fauna_spark.cache import cached
+from project_fauna_spark.functions.moments import (
+    dec19,
+    int_pearson_moments,
+    pearson_terms,
+)
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -74,23 +80,9 @@ def text_heaps_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).cast("long").alias("x"),
         F.size(F.array_distinct(words)).cast("long").alias("y"),
     )
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
-    m = t.groupBy("lang").agg(
-        F.count("*").alias("np_l"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
-        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
-        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
-    )
-    np_d = F.col("np_l").cast("decimal(38,0)")
-    num = np_d * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = np_d * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = np_d * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = F.when(
-        (dx > 0) & (dy > 0),
-        num.cast("double") / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
-    )
+    m = int_pearson_moments(t, ["lang"])
+    _, dx, dy, raw_corr = pearson_terms()
+    corr = F.when((dx > 0) & (dy > 0), raw_corr)
     return m.select(
         "lang",
         F.col("np_l").cast("long").alias("n_docs"),
@@ -170,15 +162,20 @@ def dq_seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else lives on the calendar-bounded frame (broadcast
     7-row index + 1-row moment table); the edge is sort+limit.
     """
-    daily = (
+    # daily feeds the weekday index AND the adjusted series; adj feeds
+    # the moment table AND the final select — persist both so the
+    # events scan + aggregate runs once, not once per plan branch.
+    daily = cached(
         load_table(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("day"))
         .groupBy("day")
         .agg(F.count("*").alias("n"))
     )
     iso = (F.expr("weekday(day)") + F.lit(1)).cast("long")
-    wd = daily.groupBy(iso.alias("iso_dow")).agg(
-        F.count("*").alias("n_days"), F.sum("n").alias("n_events")
+    wd = cached(
+        daily.groupBy(iso.alias("iso_dow")).agg(
+            F.count("*").alias("n_days"), F.sum("n").alias("n_events")
+        )
     )
     tot = wd.agg(F.sum("n_days").alias("td"), F.sum("n_events").alias("te"))
     idx = (F.col("n_events").cast("double") / F.col("n_days")) / (
@@ -187,20 +184,19 @@ def dq_seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ai = F.floor((F.col("n").cast("double") / idx) * F.lit(_ANOM_SCALE)).cast(
         "long"
     )
-    adj = (
+    adj = cached(
         daily.join(F.broadcast(wd), iso == F.col("iso_dow"))
         .crossJoin(F.broadcast(tot))
         .select("day", "n", ai.alias("ai"))
     )
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     m = adj.agg(
         F.count("*").alias("np_l"),
-        F.sum(dec(F.col("ai"))).alias("m1"),
-        F.sum(dec(F.col("ai")) * dec(F.col("ai"))).alias("m2"),
+        F.sum(dec19(F.col("ai"))).alias("m1"),
+        F.sum(dec19(F.col("ai")) * dec19(F.col("ai"))).alias("m2"),
     )
     np_d = F.col("np_l").cast("decimal(38,0)")
     var_n = np_d * F.col("m2") - F.col("m1") * F.col("m1")
-    z = (np_d * dec(F.col("ai")) - F.col("m1")).cast("double") / F.sqrt(
+    z = (np_d * dec19(F.col("ai")) - F.col("m1")).cast("double") / F.sqrt(
         var_n.cast("double")
     )
     return (

@@ -158,13 +158,14 @@ def dq_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count("*").alias("f"))
     )
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey")
-        .join(lc, F.col("o_orderkey") == F.col("l_orderkey"), "left")
-        .select(F.coalesce(F.col("f"), F.lit(0)).cast("long").alias("fanout"))
-    )
-    tot = o.agg(F.count("*").alias("n"))
+    ok = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    o = ok.join(
+        lc, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    ).select(F.coalesce(F.col("f"), F.lit(0)).cast("long").alias("fanout"))
+    # the left join on the GROUPED (unique) key never duplicates, so
+    # the total is just the orders row count — don't re-execute the
+    # lineitem aggregate + join a second time for one number.
+    tot = ok.agg(F.count("*").alias("n"))
     return (
         o.crossJoin(F.broadcast(tot))
         .groupBy("fanout")

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.functions.centroids import label_centroids, sql_centroid_ctes
 from project_fauna_spark.functions.vectors import cosine_sim
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
@@ -155,32 +156,17 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= 3)
 
 
-# Fixed fold width for the two-level centroid accumulation: level 1
-# folds ≤ _FOLD_K vectors per (label, vec_id div K) bucket, level 2
-# folds the bucket partials in bucket order.  Bounded per-group state
-# at every level, deterministic operation order at every level.
+# Fixed fold width for the two-level centroid accumulation (the shared
+# functions/centroids helper: level 1 folds ≤ _FOLD_K vectors per
+# (label, vec_id div K) bucket, level 2 folds the bucket partials in
+# bucket order — bounded per-group state, deterministic order).
 _FOLD_K = 256
-
-_SQL_ZIPADD = "list_transform(range(1, len(a)+1), k -> a[k] + b[k])"
 
 
 @register(
     "sim_label_centroid",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, {_SQL_EMB_D} AS emb FROM embeddings),
-    b AS (
-      SELECT label, vec_id // {_FOLD_K} AS bkt,
-             list_reduce(list(emb ORDER BY vec_id), (a, b) -> {_SQL_ZIPADD}) AS part,
-             COUNT(*) AS n1
-      FROM e GROUP BY label, vec_id // {_FOLD_K}
-    ),
-    g AS (
-      SELECT label,
-             list_reduce(list(part ORDER BY bkt), (a, b) -> {_SQL_ZIPADD}) AS s,
-             CAST(SUM(n1) AS BIGINT) AS n
-      FROM b GROUP BY label
-    ),
-    cent AS (SELECT label, list_transform(s, x -> x / n) AS centroid FROM g)
+    WITH {sql_centroid_ctes(_FOLD_K)}
     SELECT e.vec_id, e.label,
            {_SQL_COS.format(a='e.emb', b='c.centroid')} AS cos_to_centroid
     FROM e JOIN cent c ON e.label = c.label
@@ -203,37 +189,7 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; scoring is one linear pass.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    demb = F.transform("embedding", lambda x: x.cast("double"))
-
-    def _fold_sorted(col: str) -> Column:
-        # ((x1 + x2) + x3) + ... over the struct-sorted list's arrays.
-        embs = F.transform(F.array_sort(F.col(col)), lambda s: s.emb)
-        return F.aggregate(
-            F.slice(embs, 2, F.size(embs) - 1),
-            F.element_at(embs, 1),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        )
-
-    lvl1 = (
-        e.groupBy("label", F.expr(f"vec_id div {_FOLD_K}").alias("bkt"))
-        .agg(
-            F.collect_list(F.struct(F.col("vec_id"), demb.alias("emb"))).alias("vs"),
-            F.count("*").alias("n1"),
-        )
-        .select("label", "bkt", _fold_sorted("vs").alias("part"), "n1")
-    )
-    lvl2 = (
-        lvl1.groupBy("label")
-        .agg(
-            F.collect_list(F.struct(F.col("bkt").alias("vec_id"), F.col("part").alias("emb"))).alias("ps"),
-            F.sum("n1").alias("n"),
-        )
-        .select("label", _fold_sorted("ps").alias("s"), "n")
-    )
-    cent = lvl2.select(
-        "label",
-        F.transform("s", lambda x: x / F.col("n")).alias("centroid"),
-    )
+    cent = label_centroids(e, _FOLD_K)
     return (
         e.join(F.broadcast(cent), "label")
         .select(

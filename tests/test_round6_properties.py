@@ -774,12 +774,15 @@ def test_silhouette_bounds_and_python_replay(spark):
         return math.sqrt(sum((x - y) * (x - y) for x, y in zip(a, c)))
 
     sil = defaultdict(list)
+    others = {
+        lbl: [c for other, c in cent.items() if other != lbl]
+        for lbl in cent
+    }
     for v in vecs:
         emb = [float(x) for x in v["embedding"]]
         a = dist(emb, cent[v["label"]])
-        b = min(
-            dist(emb, c) for lbl, c in cent.items() if lbl != v["label"]
-        )
+        alt = others[v["label"]]
+        b = min(dist(emb, c) for c in alt) if alt else a
         m = max(a, b)
         sil[v["label"]].append(0.0 if m == 0 else (b - a) / m)
     for r in rows:
@@ -789,7 +792,12 @@ def test_silhouette_bounds_and_python_replay(spark):
         # float-order differences between the two-level fold and the
         # naive Python mean stay tiny at this scale
         assert abs(r["mean_silhouette"] - sum(ss) / len(ss)) < 1e-6
-        assert abs(r["n_negative"] - sum(1 for s in ss if s < 0)) <= 0
+        # a replay with different centroid float order can flip a
+        # vector whose s sits within float noise of 0 — band, not
+        # exact-match (the same tolerance the mean check uses)
+        lo = sum(1 for s in ss if s < -1e-6)
+        hi = sum(1 for s in ss if s < 1e-6)
+        assert lo <= r["n_negative"] <= hi
 
 
 def test_lorenz_curve_shape(spark):
@@ -813,12 +821,12 @@ def test_lorenz_curve_shape(spark):
     cums = [r["cum_share"] for r in rows]
     assert all(a < b for a, b in zip(cums, cums[1:]))
     assert abs(cums[-1] - 1.0) < 1e-12
+    assert abs(sum(x["decile_share"] for x in rows) - 1.0) < 1e-12
     # Lorenz dominance: bottom-k customers hold at most k/n of value
     pop = 0
     for r in rows:
         pop += r["n_customers"]
         assert r["cum_share"] <= pop / n + 1e-12
-        assert abs(sum(x["decile_share"] for x in rows) - 1.0) < 1e-12
         assert r["decile_value"] > 0.0
 
 
