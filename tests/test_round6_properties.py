@@ -970,3 +970,41 @@ def test_join_fanout_profile_totals(spark):
     for r in rows:
         assert r["n_lines"] == r["fanout"] * r["n_orders"]
         assert r["fanout"] >= 0
+
+
+# ---- batch 17 (extras23) ----
+
+
+def test_trade_balance_square_up(spark):
+    rows = QUERIES["q_nation_trade_balance"](spark, SF).collect()
+    from project_fauna_spark.io import load_table
+
+    n_nations = load_table(spark, SF, "nation").count()
+    assert len(rows) == n_nations
+    # global square-up: every revenue dollar is someone's export AND
+    # someone's import, so the balances sum to ~0 (decimal edges)
+    assert abs(sum(r["trade_balance"] for r in rows)) < 1e-6
+    tot_exp = sum(r["exports"] for r in rows)
+    tot_imp = sum(r["imports"] for r in rows)
+    assert abs(tot_exp - tot_imp) < 1e-6
+    for r in rows:
+        assert r["exports"] >= 0.0 and r["imports"] >= 0.0
+        assert abs(r["trade_balance"] - (r["exports"] - r["imports"])) < 1e-9
+
+
+def test_dow_hour_heatmap_grid(spark):
+    rows = QUERIES["ts_dow_hour_heatmap"](spark, SF).collect()
+    assert rows and len(rows) <= 168
+    from project_fauna_spark.io import load_table
+
+    n_total = load_table(spark, SF, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+    seen = set()
+    for r in rows:
+        assert 1 <= r["iso_dow"] <= 7
+        assert 0 <= r["hour_of_day"] <= 23
+        key = (r["iso_dow"], r["hour_of_day"])
+        assert key not in seen
+        seen.add(key)
+        assert r["n_events"] > 0
