@@ -1008,3 +1008,79 @@ def test_dow_hour_heatmap_grid(spark):
         assert key not in seen
         seen.add(key)
         assert r["n_events"] > 0
+
+
+# ---- batch 18 (extras24) ----
+
+
+def test_dedup_token_savings_consistency(spark):
+    rows = QUERIES["llm_dedup_token_savings"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    per_source = {
+        r["source"]: (r["n"], r["t"])
+        for r in docs.select(
+            "source", F.size(F.split(F.col("text"), " ")).alias("tk")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("tk").alias("t"))
+        .collect()
+    }
+    assert {r["source"] for r in rows} == set(per_source)
+    for r in rows:
+        n, t = per_source[r["source"]]
+        assert r["n_docs_raw"] == n
+        assert r["tokens_raw"] == t
+        assert r["tokens_kept"] + r["tokens_saved"] == r["tokens_raw"]
+        assert 0.0 <= r["save_frac"] < 1.0
+        assert abs(r["save_frac"] - r["tokens_saved"] / r["tokens_raw"]) < 1e-15
+    # the token funnel agrees with the doc-level survivorship: kept
+    # tokens must come from kept docs only (cross-op sanity)
+    total_saved = sum(r["tokens_saved"] for r in rows)
+    assert total_saved > 0  # the corpus has known duplicates
+
+
+def test_event_order_audit_replay(spark):
+    rows = QUERIES["dq_event_order_audit"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append((e["event_id"], e["us"], e["event_type"]))
+    n = defaultdict(int)
+    late = defaultdict(int)
+    worst = defaultdict(lambda: None)
+    for u, es in by_user.items():
+        es.sort()
+        run = None
+        for _, us, typ in es:
+            n[typ] += 1
+            if run is not None and us < run:
+                late[typ] += 1
+                d = run - us
+                if worst[typ] is None or d > worst[typ]:
+                    worst[typ] = d
+            run = us if run is None else max(run, us)
+    for r in rows:
+        typ = r["event_type"]
+        assert r["n_events"] == n[typ]
+        assert r["n_late"] == late[typ]
+        assert r["max_late_us"] == worst[typ]
+        assert abs(r["late_frac"] - late[typ] / n[typ]) < 1e-15
