@@ -1084,3 +1084,53 @@ def test_event_order_audit_replay(spark):
         assert r["n_late"] == late[typ]
         assert r["max_late_us"] == worst[typ]
         assert abs(r["late_frac"] - late[typ] / n[typ]) < 1e-15
+
+
+# ---- batch 19 (extras25) ----
+
+
+def test_bot_audit_replay(spark):
+    rows = QUERIES["event_bot_user_audit"](spark, SF).collect()
+    assert len(rows) == 10
+    counts = [r["n_events"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    import math
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    per_user = {
+        r["user_id"]: r["c"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    nu, m1 = len(per_user), sum(per_user.values())
+    m2 = sum(c * c for c in per_user.values())
+    den = math.sqrt(nu * m2 - m1 * m1)
+    top = sorted(per_user.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert [(r["user_id"], r["n_events"]) for r in rows] == top
+    for r in rows:
+        expect_z = (nu * r["n_events"] - m1) / den
+        assert abs(r["z"] - expect_z) < 1e-12
+        assert r["flagged_2sigma"] == (r["z"] > 2.0)
+        assert abs(r["share_of_total"] - r["n_events"] / m1) < 1e-15
+
+
+def test_wilson_ci_brackets_rate(spark):
+    rows = QUERIES["ts_conversion_wilson_ci"](spark, SF).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        n = r["n_purchases"] + r["n_views"]
+        assert n > 0
+        assert abs(r["rate"] - r["n_purchases"] / n) < 1e-15
+        assert 0.0 <= r["ci_low"] <= r["rate"] <= r["ci_high"] <= 1.0
+        # replay the Wilson formula in Python
+        p, z = r["n_purchases"] / n, 1.96
+        half = z * math.sqrt((p * (1.0 - p) + z * z / (4 * n)) / n)
+        denom = 1.0 + z * z / n
+        assert abs(r["ci_low"] - (p + z * z / (2 * n) - half) / denom) < 1e-12
+        assert abs(r["ci_high"] - (p + z * z / (2 * n) + half) / denom) < 1e-12
