@@ -105,14 +105,21 @@ def event_bot_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines (Spark F.expr and the DuckDB oracle parse the identical
 # expression tree over the same integer k/n, so every double op matches
 # 1:1 — multiplication/division/sqrt are each correctly rounded IEEE).
+# CRITICAL: every literal is written in scientific notation (1.96e0) —
+# a bare `1.96` types as DECIMAL in Spark (exact decimal division,
+# decimal(18,15) intermediates) but flips to DOUBLE at the first `/` in
+# DuckDB, which diverges bitwise on ~0.3-5% of (k, n) inputs (measured:
+# k=3, n=7 lands 2 ulp apart).  Scientific notation is DOUBLE in both
+# parsers, restoring the identical-AST premise.
 _WILSON_P = "(CAST(k AS DOUBLE) / n)"
+_Z2 = "(1.96e0 * 1.96e0)"
 _WILSON_LO = (
-    f"(({_WILSON_P} + 1.96*1.96/(2*n) - 1.96*sqrt(({_WILSON_P}*(1.0 - {_WILSON_P})"
-    f" + 1.96*1.96/(4*n))/n)) / (1.0 + 1.96*1.96/n))"
+    f"(({_WILSON_P} + {_Z2}/(2*n) - 1.96e0*sqrt(({_WILSON_P}*(1.0e0 - {_WILSON_P})"
+    f" + {_Z2}/(4*n))/n)) / (1.0e0 + {_Z2}/n))"
 )
 _WILSON_HI = (
-    f"(({_WILSON_P} + 1.96*1.96/(2*n) + 1.96*sqrt(({_WILSON_P}*(1.0 - {_WILSON_P})"
-    f" + 1.96*1.96/(4*n))/n)) / (1.0 + 1.96*1.96/n))"
+    f"(({_WILSON_P} + {_Z2}/(2*n) + 1.96e0*sqrt(({_WILSON_P}*(1.0e0 - {_WILSON_P})"
+    f" + {_Z2}/(4*n))/n)) / (1.0e0 + {_Z2}/n))"
 )
 
 
@@ -139,8 +146,9 @@ def ts_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     view+purchase events (a TRUE binomial proportion, k ≤ n by
     construction; raw purchases/views can exceed 1 on days users buy
     without browsing and is not interval-able) — with a 95 % WILSON
-    SCORE interval: the error bar that stays inside [0, 1] and stays
-    honest at small n, unlike the naive normal interval.  The daily
+    SCORE interval: the error bar that stays inside [0, 1] (up to a
+    few ulp of float rounding at k=0 / k=n) and stays honest at small
+    n, unlike the naive normal interval.  The daily
     dashboard line that says whether today's dip is signal or sample
     noise (the per-day sibling of ``event_conversion_window_sweep``'s
     aggregate rates).
@@ -149,9 +157,13 @@ def ts_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  The interval arithmetic is a fixed double expression
     fed VERBATIM to both engines (one shared SQL string → identical
     ASTs → identical correctly-rounded IEEE ops; sqrt is exact), so
-    the bounds are bit-equal without any decimal routing.  Zero-sample
-    days are excluded, not divided by.  Scale: the frame is
-    calendar-bounded; nothing after the scan grows with SF.
+    the bounds are bit-equal without any decimal routing — PROVIDED
+    every literal is scientific-notation DOUBLE (see the _WILSON_*
+    comment: bare decimal literals type differently per engine; the
+    fixed strings were verified bitwise-equal over all 7259 (k, n)
+    pairs with n ≤ 119).  Zero-sample days are excluded, not divided
+    by.  Scale: the frame is calendar-bounded; nothing after the scan
+    grows with SF.
     """
     d = (
         load_table(spark, sf_dir, "events")

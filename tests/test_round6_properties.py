@@ -1127,7 +1127,9 @@ def test_wilson_ci_brackets_rate(spark):
         n = r["n_purchases"] + r["n_views"]
         assert n > 0
         assert abs(r["rate"] - r["n_purchases"] / n) < 1e-15
-        assert 0.0 <= r["ci_low"] <= r["rate"] <= r["ci_high"] <= 1.0
+        # the IEEE evaluation escapes [0,1] by a few ulp at k=0 / k=n
+        eps = 1e-12
+        assert -eps <= r["ci_low"] <= r["rate"] <= r["ci_high"] <= 1.0 + eps
         # replay the Wilson formula in Python
         p, z = r["n_purchases"] / n, 1.96
         half = z * math.sqrt((p * (1.0 - p) + z * z / (4 * n)) / n)
