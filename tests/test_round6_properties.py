@@ -1223,3 +1223,52 @@ def test_band_migration_stochastic_matrix(spark):
             if y + 1 in ys:
                 expect += 1
     assert total == expect
+
+
+# ---- batch 21 (extras27) ----
+
+
+def test_hhi_bounds_and_replay(spark):
+    rows = QUERIES["agg_supplier_hhi"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    pr = (
+        load_table(spark, SF, "lineitem")
+        .join(
+            load_table(spark, SF, "part").select("p_partkey", "p_type"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("r")
+        )
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in pr:
+        by_type[r["p_type"]].append(r["r"])
+    assert {r["p_type"] for r in rows} == set(by_type)
+    for r in rows:
+        revs = by_type[r["p_type"]]
+        assert r["n_suppliers"] == len(revs)
+        # HHI within [1/n, 1]; replay within float tolerance
+        tot = sum(revs)
+        hhi = sum((x / tot) ** 2 for x in revs)
+        assert 1.0 / len(revs) - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
+        assert abs(r["hhi"] - hhi) < 1e-9
+        assert abs(r["top_share"] - max(revs) / tot) < 1e-9
+
+
+def test_malformed_csv_audit_expected(spark):
+    (r,) = QUERIES["ingest_csv_malformed_audit"](spark, SF).collect()
+    assert r["n_rows"] == 46
+    assert r["n_good"] == 40
+    assert r["n_corrupt"] == 6
+    assert r["sum_num_good"] == 790.0  # dyadic-exact under any order
+    assert abs(r["corrupt_frac"] - 6 / 46) < 1e-15
