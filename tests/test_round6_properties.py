@@ -1272,3 +1272,59 @@ def test_malformed_csv_audit_expected(spark):
     assert r["n_corrupt"] == 6
     assert r["sum_num_good"] == 790.0  # dyadic-exact under any order
     assert abs(r["corrupt_frac"] - 6 / 46) < 1e-15
+
+
+# ---- batch 22 (extras28) ----
+
+
+def test_family_size_histogram_totals(spark):
+    rows = QUERIES["dedup_family_size_histogram"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_families"] for r in rows) == n_distinct
+    assert sum(r["n_redundant"] for r in rows) == n_docs - n_distinct
+    for r in rows:
+        assert r["family_size"] >= 1
+        assert r["n_docs"] == r["family_size"] * r["n_families"]
+        assert r["n_redundant"] == (r["family_size"] - 1) * r["n_families"]
+
+
+def test_weekly_trend_slopes_replay(spark):
+    rows = QUERIES["ts_weekly_trend_slopes"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    weeks = defaultdict(list)
+    for r in daily:
+        d = r["day"]
+        ws = d.fromordinal(d.toordinal() - d.weekday())  # Monday
+        weeks[ws].append(((d - ws).days, r["n"]))
+    got = {r["week_start"]: r for r in rows}
+    for ws, pts in weeks.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        dx = n * sxx - sx * sx
+        if dx == 0:
+            assert ws not in got
+            continue
+        r = got[ws]
+        assert r["n_days"] == n
+        assert r["total_events"] == sy
+        assert abs(r["slope_per_day"] - (n * sxy - sx * sy) / dx) < 1e-12
+    assert set(got) <= set(weeks)
