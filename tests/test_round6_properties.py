@@ -1328,3 +1328,66 @@ def test_weekly_trend_slopes_replay(spark):
         assert r["total_events"] == sy
         assert abs(r["slope_per_day"] - (n * sxy - sx * sy) / dx) < 1e-12
     assert set(got) <= set(weeks)
+
+
+# ---- batch 23 (extras29) ----
+
+
+def test_audience_overlap_sets(spark):
+    rows = QUERIES["event_audience_overlap"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+
+    audiences: dict = {}
+    for r in (
+        load_table(spark, SF, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    ):
+        audiences.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(audiences)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        a, b = audiences[r["type_a"]], audiences[r["type_b"]]
+        assert r["type_a"] < r["type_b"]
+        assert r["users_a"] == len(a) and r["users_b"] == len(b)
+        inter = len(a & b)
+        assert r["n_common"] == inter
+        assert r["jaccard"] == inter / len(a | b)
+        assert r["containment"] == inter / min(len(a), len(b))
+
+
+def _ref_phash(text: str) -> str:
+    data = text.encode()
+    height = max(1, -(-len(data) // 192))
+    padded = data.ljust(height * 192, b"\x00")
+    h3 = height * 3
+    cells = [sum(padded[i * h3 : (i + 1) * h3]) for i in range(64)]
+    total = sum(cells)
+    return "".join("1" if s * 64 > total else "0" for s in cells)
+
+
+def test_phash_dedup_matches_reference(spark):
+    rows = QUERIES["mm_phash_dedup"](spark, SF).collect()
+    assert rows
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF, "documents").collect()
+        if len(r["text"].encode()) == len(r["text"])  # ASCII gate, both sides
+    ]
+    expected = Counter(_ref_phash(t) for _, t in docs)
+    got = {r["phash"]: r for r in rows}
+    assert {h: r["n_docs"] for h, r in got.items()} == dict(expected)
+    mins: dict = {}
+    for doc_id, t in docs:
+        h = _ref_phash(t)
+        mins[h] = min(mins.get(h, doc_id), doc_id)
+    for h, r in got.items():
+        assert len(h) == 64 and set(h) <= {"0", "1"}
+        assert r["n_redundant"] == r["n_docs"] - 1
+        assert r["min_doc_id"] == mins[h]
