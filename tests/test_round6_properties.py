@@ -1391,3 +1391,61 @@ def test_phash_dedup_matches_reference(spark):
         assert len(h) == 64 and set(h) <= {"0", "1"}
         assert r["n_redundant"] == r["n_docs"] - 1
         assert r["min_doc_id"] == mins[h]
+
+
+# ---- batch 24 (extras30) ----
+
+
+def test_max_drawdown_replay(spark):
+    rows = QUERIES["ts_max_drawdown"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    daily = defaultdict(dict)
+    for r in (
+        load_table(spark, SF, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        daily[r["event_type"]][r["day"]] = r["n"]
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(daily)
+    for et, series in daily.items():
+        peak, best_dd, trough = 0, -1, None
+        for day in sorted(series):
+            peak = max(peak, series[day])
+            dd = peak - series[day]
+            if dd > best_dd:
+                best_dd, trough = dd, day
+        r = got[et]
+        assert r["n_days"] == len(series)
+        assert r["max_drawdown"] == best_dd >= 0
+        assert r["trough_day"] == trough
+
+
+def test_discount_demand_curve_replay(spark):
+    rows = QUERIES["q_discount_demand_curve"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    acc = defaultdict(lambda: [0, 0])
+    for r in (
+        load_table(spark, SF, "lineitem").select("l_discount", "l_quantity").collect()
+    ):
+        b = acc[round(r["l_discount"] * 100)]
+        b[0] += 1
+        b[1] += int(r["l_quantity"])
+    got = {r["discount_pct"]: r for r in rows}
+    assert set(got) == set(acc)
+    for pct, (n, q) in acc.items():
+        r = got[pct]
+        assert r["n_lines"] == n and r["total_qty"] == q
+        assert r["avg_qty"] == q / n
+        assert r["revenue"] > 0.0
