@@ -1449,3 +1449,70 @@ def test_discount_demand_curve_replay(spark):
         assert r["n_lines"] == n and r["total_qty"] == q
         assert r["avg_qty"] == q / n
         assert r["revenue"] > 0.0
+
+
+# ---- batch 25 (extras31) ----
+
+
+def test_kcore_peel_replay(spark):
+    rows = QUERIES["graph_kcore_peel"](spark, SF).collect()
+    assert rows
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+
+    o = {r["o_orderkey"]: r["o_custkey"] for r in load_table(spark, SF, "orders").collect()}
+    edges = {
+        (o[r["l_orderkey"]], r["l_suppkey"])
+        for r in load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    }
+    for _ in range(3):
+        cd = Counter(ck for ck, _ in edges)
+        sd = Counter(sk for _, sk in edges)
+        edges = {(ck, sk) for ck, sk in edges if cd[ck] >= 10 and sd[sk] >= 10}
+    cd = Counter(ck for ck, _ in edges)
+    sd = Counter(sk for _, sk in edges)
+    got = {(r["kind"], r["key"]): r["degree"] for r in rows}
+    assert got == {
+        **{("customer", k): v for k, v in cd.items()},
+        **{("supplier", k): v for k, v in sd.items()},
+    }
+
+
+def _ref_winnow(text: str) -> tuple[int, set]:
+    P = 1_000_000_007
+    wh = []
+    for w in text.split(" "):
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % P
+        wh.append(h)
+    kg = []
+    for i in range(len(wh) - 3):
+        h = 0
+        for x in wh[i : i + 4]:
+            h = (h * 33 + x) % P
+        kg.append(h)
+    fps = {min(kg[j : j + 4]) for j in range(len(kg) - 3)}
+    return len(kg), fps
+
+
+def test_winnowing_matches_reference(spark):
+    rows = QUERIES["text_winnowing_fingerprint"](spark, SF).collect()
+    assert rows
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+
+    texts = {r["doc_id"]: r["text"] for r in load_table(spark, SF, "documents").collect()}
+    assert set(texts) == {r["doc_id"] for r in rows}
+    ref = {d: _ref_winnow(t) for d, t in texts.items()}
+    occurrences = Counter()
+    for _, fps in ref.values():
+        occurrences.update(fps)
+    for r in rows:
+        n_kg, fps = ref[r["doc_id"]]
+        assert r["n_kgrams"] == n_kg
+        assert r["n_fingerprints"] == len(fps)
+        assert r["n_shared"] == sum(1 for f in fps if occurrences[f] >= 2)
+        assert r["n_shared"] <= r["n_fingerprints"] <= max(r["n_kgrams"] - 3, 0)
