@@ -1516,3 +1516,38 @@ def test_winnowing_matches_reference(spark):
         assert r["n_fingerprints"] == len(fps)
         assert r["n_shared"] == sum(1 for f in fps if occurrences[f] >= 2)
         assert r["n_shared"] <= r["n_fingerprints"] <= max(r["n_kgrams"] - 3, 0)
+
+
+# ---- batch 26 (extras32) ----
+
+
+def test_tvd_language_drift_replay(spark):
+    rows = QUERIES["text_tvd_language_drift"](spark, SF).collect()
+    assert rows
+    from collections import Counter, defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    counts = defaultdict(Counter)
+    for r in load_table(spark, SF, "documents").select("lang", "text").collect():
+        counts[r["lang"]].update(r["text"].split(" "))
+    langs = sorted(counts)
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+    for r in rows:
+        ca, cb = counts[r["lang_a"]], counts[r["lang_b"]]
+        na, nb = sum(ca.values()), sum(cb.values())
+        assert (r["tokens_a"], r["tokens_b"]) == (na, nb)
+        assert r["n_common_terms"] == len(set(ca) & set(cb))
+        num = sum(abs(ca[t] * nb - cb[t] * na) for t in set(ca) | set(cb))
+        assert r["tvd"] == num / (2 * na * nb)
+        assert 0.0 <= r["tvd"] <= 1.0
+
+
+def test_ratio_paradox_consistency(spark):
+    rows = QUERIES["agg_ratio_paradox_discount"](spark, SF).collect()
+    assert rows and len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["avg_discount"] <= 0.10 + 1e-12
+        assert 0.0 <= r["wavg_discount"] <= 0.10 + 1e-12
+        assert r["weighting_gap"] == r["wavg_discount"] - r["avg_discount"]
+        assert r["n_lines"] > 0
