@@ -1551,3 +1551,54 @@ def test_ratio_paradox_consistency(spark):
         assert 0.0 <= r["wavg_discount"] <= 0.10 + 1e-12
         assert r["weighting_gap"] == r["wavg_discount"] - r["avg_discount"]
         assert r["n_lines"] > 0
+
+
+# ---- batch 27 (extras33) ----
+
+
+def test_kmv_estimate_replay(spark):
+    (r,) = QUERIES["sketch_kmv_distinct"](spark, SF).collect()
+    from project_fauna_spark.io import load_table
+    import hashlib
+
+    parts = {
+        row["l_partkey"]
+        for row in load_table(spark, SF, "lineitem").select("l_partkey").collect()
+    }
+    hashes = sorted(
+        {int(hashlib.md5(f"kmv:{p}".encode()).hexdigest()[:8], 16) for p in parts}
+    )
+    bot = hashes[:64]
+    assert r["n_exact"] == len(parts)
+    assert r["k_used"] == len(bot)
+    assert r["kth_hash"] == bot[-1]
+    if len(bot) == 64:
+        assert r["estimate"] == (64 - 1) * (1 << 32) / (bot[-1] + 1)
+    else:
+        assert r["estimate"] == float(len(parts))
+    assert abs(r["rel_error"]) < 0.5  # 1/sqrt(63) ≈ 0.13, generous bound
+    assert r["rel_error"] == r["estimate"] / r["n_exact"] - 1
+
+
+def test_systematic_sample_spacing(spark):
+    rows = sorted(
+        QUERIES["sample_systematic_stride"](spark, SF).collect(),
+        key=lambda r: r["sample_rank"],
+    )
+    assert rows
+    from project_fauna_spark.io import load_table
+    import hashlib
+
+    n = load_table(spark, SF, "orders").count()
+    assert len(rows) == -(-n // 100)
+    assert [r["sample_rank"] for r in rows] == list(range(1, n + 1, 100))
+    # replay hash order for the first sampled key
+    keys = [
+        row["o_orderkey"]
+        for row in load_table(spark, SF, "orders").select("o_orderkey").collect()
+    ]
+    ordered = sorted(
+        keys, key=lambda k: (int(hashlib.md5(f"sys:{k}".encode()).hexdigest()[:8], 16), k)
+    )
+    expect = {i + 1: k for i, k in enumerate(ordered) if i % 100 == 0}
+    assert {r["sample_rank"]: r["o_orderkey"] for r in rows} == expect
