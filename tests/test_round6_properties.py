@@ -1602,3 +1602,73 @@ def test_systematic_sample_spacing(spark):
     )
     expect = {i + 1: k for i, k in enumerate(ordered) if i % 100 == 0}
     assert {r["sample_rank"]: r["o_orderkey"] for r in rows} == expect
+
+
+# ---- batch 28 (extras34) ----
+
+
+def test_growth_accounting_conservation(spark):
+    rows = sorted(
+        QUERIES["event_growth_accounting"](spark, SF).collect(),
+        key=lambda r: r["week"],
+    )
+    assert rows
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from project_fauna_spark.io import load_table
+
+    weeks = defaultdict(set)
+    for r in (
+        load_table(spark, SF, "events").select("user_id", "ts").collect()
+    ):
+        d = r["ts"].date()
+        weeks[d - timedelta(days=d.weekday())].add(r["user_id"])
+    assert [r["week"] for r in rows] == sorted(weeks)
+    first_seen: dict = {}
+    last_active: dict = {}
+    prev_active: set = set()
+    for r in rows:
+        w, users = r["week"], weeks[r["week"]]
+        new = {u for u in users if u not in first_seen}
+        retained = {u for u in users if last_active.get(u) == w - timedelta(days=7)}
+        resurrected = users - new - retained
+        churned = len(prev_active) - len(retained)
+        assert r["n_active"] == len(users)
+        assert r["n_new"] == len(new)
+        assert r["n_retained"] == len(retained)
+        assert r["n_resurrected"] == len(resurrected)
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == r["n_active"]
+        if r is rows[0]:
+            assert r["n_churned"] is None and r["quick_ratio"] is None
+        else:
+            assert r["n_churned"] == churned
+            if churned > 0:
+                assert r["quick_ratio"] == (len(new) + len(resurrected)) / churned
+            else:
+                assert r["quick_ratio"] is None
+        for u in users:
+            first_seen.setdefault(u, w)
+            last_active[u] = w
+        prev_active = users
+
+
+def test_sequence_gap_audit_replay(spark):
+    (r,) = QUERIES["dq_sequence_gap_audit"](spark, SF).collect()
+    from project_fauna_spark.io import load_table
+
+    keys = sorted(
+        {
+            row["key"]
+            for row in load_table(spark, SF, "lineitem")
+            .selectExpr("l_orderkey AS key")
+            .collect()
+        }
+    )
+    gaps = [(b - a, a) for a, b in zip(keys, keys[1:])]
+    assert r["n_keys"] == len(keys)
+    assert (r["min_key"], r["max_key"]) == (keys[0], keys[-1])
+    assert r["n_missing"] == keys[-1] - keys[0] + 1 - len(keys)
+    assert r["n_gap_runs"] == sum(1 for g, _ in gaps if g > 1)
+    assert r["largest_gap"] == max(g for g, _ in gaps)
+    assert r["largest_gap_start"] == min(a for g, a in gaps if g == r["largest_gap"])
