@@ -1672,3 +1672,57 @@ def test_sequence_gap_audit_replay(spark):
     assert r["n_gap_runs"] == sum(1 for g, _ in gaps if g > 1)
     assert r["largest_gap"] == max(g for g, _ in gaps)
     assert r["largest_gap_start"] == min(a for g, a in gaps if g == r["largest_gap"])
+
+
+# ---- batch 29 (extras35) ----
+
+
+def test_fixed_width_roundtrip_exact(spark):
+    rows = QUERIES["ingest_fixed_width_parse"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    orig = {
+        r["o_orderkey"]: r
+        for r in load_table(spark, SF, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    }
+    assert len(rows) == len(orig)
+    for r in rows:
+        o = orig[r["o_orderkey"]]
+        assert r["o_orderstatus"] == o["o_orderstatus"]
+        assert r["o_totalprice"] == o["o_totalprice"]  # bit-exact round-trip
+
+
+def test_velocity_burst_replay(spark):
+    rows = QUERIES["event_velocity_burst"](spark, SF).collect()
+    assert len(rows) == 10
+    from bisect import bisect_left, bisect_right
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    per_user = defaultdict(list)
+    for r in (
+        load_table(spark, SF, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    ):
+        per_user[r["user_id"]].append(r["us"])
+    peaks = {}
+    for u, ts in per_user.items():
+        ts.sort()
+        # RANGE frame: peers (equal timestamps) count, before AND after
+        peaks[u] = max(
+            bisect_right(ts, t) - bisect_left(ts, t - (60_000_000 - 1)) for t in ts
+        )
+    expect = sorted(peaks, key=lambda u: (-peaks[u], u))[:10]
+    assert sorted(r["user_id"] for r in rows) == sorted(expect)
+    for r in rows:
+        assert r["peak_burst"] == peaks[r["user_id"]]
+        assert r["n_events"] == len(per_user[r["user_id"]])
+        assert r["peak_burst"] <= r["n_events"]
