@@ -1726,3 +1726,69 @@ def test_velocity_burst_replay(spark):
         assert r["peak_burst"] == peaks[r["user_id"]]
         assert r["n_events"] == len(per_user[r["user_id"]])
         assert r["peak_burst"] <= r["n_events"]
+
+
+# ---- batch 30 (extras36) ----
+
+
+def test_first_order_ltv_corr_replay(spark):
+    rows = QUERIES["ml_first_order_ltv_corr"](spark, SF).collect()
+    assert rows and len(rows) == 5
+    import math
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF, "customer").collect()
+    }
+    per_cust = defaultdict(list)
+    for r in (
+        load_table(spark, SF, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .collect()
+    ):
+        per_cust[r["o_custkey"]].append(
+            (r["o_orderdate"], r["o_orderkey"], round(r["o_totalprice"] * 100))
+        )
+    by_seg = defaultdict(list)
+    for ck, orders in per_cust.items():
+        orders.sort()
+        by_seg[seg[ck]].append((orders[0][2], sum(c for _, _, c in orders)))
+    for r in rows:
+        pts = by_seg[r["c_mktsegment"]]
+        n = len(pts)
+        assert r["n_customers"] == n
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        assert r["mean_first_cents"] == sx / n
+        assert r["mean_ltv_cents"] == sy / n
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx > 0 and dy > 0:
+            expect = (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy))
+            assert abs(r["first_ltv_corr"] - expect) < 1e-12
+            assert -1.0 - 1e-12 <= r["first_ltv_corr"] <= 1.0 + 1e-12
+        else:
+            assert r["first_ltv_corr"] is None
+
+
+def test_langid_confusion_consistent(spark):
+    rows = QUERIES["text_langid_confusion"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    pred = QUERIES["text_langid_ngram"](spark, SF).collect()
+    counts = defaultdict(int)
+    for p in pred:
+        counts[(p["actual_lang"], p["guessed_lang"])] += 1
+    assert {(r["actual_lang"], r["guessed_lang"]): r["n_docs"] for r in rows} == dict(
+        counts
+    )
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r["actual_lang"]] += r["row_share"]
+        assert 0.0 < r["row_share"] <= 1.0
+    for lang, total in shares.items():
+        assert abs(total - 1.0) < 1e-12, lang
