@@ -1792,3 +1792,38 @@ def test_langid_confusion_consistent(spark):
         assert 0.0 < r["row_share"] <= 1.0
     for lang, total in shares.items():
         assert abs(total - 1.0) < 1e-12, lang
+
+
+# ---- batch 31 (extras37) ----
+
+
+def test_rank_agreement_tau_bounds(spark):
+    rows = QUERIES["sim_metric_rank_agreement"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_concordant"] + r["n_discordant"] == 45  # C(10,2), no rank ties
+        assert r["kendall_tau"] == (r["n_concordant"] - r["n_discordant"]) / 45
+        assert -1.0 <= r["kendall_tau"] <= 1.0
+
+
+def test_reciprocity_replay(spark):
+    rows = QUERIES["graph_reciprocity"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+
+    o = {r["o_orderkey"]: r["o_custkey"] for r in load_table(spark, SF, "orders").collect()}
+    cn = {r["c_custkey"]: r["c_nationkey"] for r in load_table(spark, SF, "customer").collect()}
+    sn = {r["s_suppkey"]: r["s_nationkey"] for r in load_table(spark, SF, "supplier").collect()}
+    edges = set()
+    for r in load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect():
+        a, b = cn[o[r["l_orderkey"]]], sn[r["l_suppkey"]]
+        if a != b:
+            edges.add((a, b))
+    got = {r["node"]: r for r in rows}
+    assert set(got) == {a for a, _ in edges}
+    for node, r in got.items():
+        out = [(a, b) for a, b in edges if a == node]
+        rec = [1 for a, b in out if (b, a) in edges]
+        assert r["out_deg"] == len(out)
+        assert r["n_reciprocal"] == len(rec)
+        assert r["reciprocity"] == len(rec) / len(out)
