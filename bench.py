@@ -81,6 +81,11 @@ HEADLINE = [
     "llm_microbatch_padding",
     "event_time_to_convert",
     "dedup_paragraph_hash",
+    # round 6 batches 22-31 (baselines recorded in BASELINE.md same day)
+    "text_winnowing_fingerprint",
+    "mm_phash_dedup",
+    "graph_kcore_peel",
+    "event_velocity_burst",
 ]
 
 
