@@ -1827,3 +1827,51 @@ def test_reciprocity_replay(spark):
         assert r["out_deg"] == len(out)
         assert r["n_reciprocal"] == len(rec)
         assert r["reciprocity"] == len(rec) / len(out)
+
+
+# ---- batch 32 (extras38) ----
+
+
+def test_hard_negative_mining_replay(spark):
+    rows = QUERIES["sim_hard_negative_mining"](spark, SF).collect()
+    assert len(rows) == 20
+    import math
+
+    from project_fauna_spark.io import load_table
+
+    vecs = {
+        r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    for r in rows:
+        ql, qv = vecs[r["query_id"]]
+        assert r["label"] == ql
+        best_neg = max(
+            ((cos(qv, v), i) for i, (l, v) in vecs.items() if i != r["query_id"] and l != ql),
+        )
+        best_pos = max(
+            (cos(qv, v) for i, (l, v) in vecs.items() if i != r["query_id"] and l == ql),
+        )
+        assert abs(r["neg_cos"] - best_neg[0]) < 1e-9
+        assert abs(r["pos_cos"] - best_pos) < 1e-9
+        assert r["margin"] == r["pos_cos"] - r["neg_cos"]
+        assert r["is_hard"] == (r["margin"] < 0)
+
+
+def test_embedding_norm_audit_bounds(spark):
+    rows = QUERIES["dq_embedding_norm_audit"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+
+    n_total = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r["n_zero_vectors"] <= r["n_vecs"]
+        assert 0 <= r["n_unit_norm"] <= r["n_vecs"]
+        assert 0.0 <= r["min_norm"] <= r["max_norm"]
+        assert r["min_norm"] - 1e-6 <= r["mean_norm"] <= r["max_norm"] + 1e-6
