@@ -11,6 +11,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from project_fauna_spark.cache import cached
+from project_fauna_spark.functions.wordhash import (
+    SQL_WORD_HASHES,
+    WORDHASH_MOD,
+    word_hashes,
+)
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -107,7 +112,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_winnowing_fingerprint — MOSS local fingerprinting
 # --------------------------------------------------------------------------
 
-_WINNOW_P = 1_000_000_007  # same modulus as text_fingerprint's rolling hash
+_WINNOW_P = WORDHASH_MOD  # same fold as text_fingerprint (functions/wordhash)
 
 
 def _shift_zip4(arr: Column) -> Column:
@@ -134,12 +139,7 @@ def _shift_zip4(arr: Column) -> Column:
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     h AS (
       SELECT doc_id,
-             list_transform(words, w ->
-               list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(w) + 1),
-                                  i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
-                 (acc, c) -> (acc * 31 + c) % {_WINNOW_P})) AS wh
+             {SQL_WORD_HASHES} AS wh
       FROM w
     ),
     kg AS (
@@ -190,17 +190,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    wh = F.transform(
-        words,
-        lambda w: F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.length(w)),
-                lambda i: F.ascii(F.substr(w, i, F.lit(1))).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + c) % _WINNOW_P,
-        ),
-    )
+    wh = word_hashes(words)  # shared base-31 fold (functions/wordhash)
     kg = F.transform(
         _shift_zip4(F.col("wh")),
         lambda s: (

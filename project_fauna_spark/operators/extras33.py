@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.functions.ranks import bucket_offsets
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
@@ -70,10 +71,8 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from project_fauna_spark.operators.extras3 import _h32
 
-    u = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey")
-        .distinct()
+    u = cached(
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
     )
     h = u.select(
         _h32(F.col("l_partkey").cast("string"), "kmv:").alias("hv")
@@ -145,12 +144,13 @@ def sample_systematic_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from project_fauna_spark.operators.extras3 import _h32
 
-    h = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        _h32(F.col("o_orderkey").cast("string"), "sys:").alias("hv"),
-    )
-    h = h.withColumn(
-        "bucket", F.shiftright(F.col("hv"), _SYS_BUCKETS_SHIFT)
+    h = cached(
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            _h32(F.col("o_orderkey").cast("string"), "sys:").alias("hv"),
+        )
+        .withColumn("bucket", F.shiftright(F.col("hv"), _SYS_BUCKETS_SHIFT))
     )
     local = F.row_number().over(
         W.partitionBy("bucket").orderBy("hv", "o_orderkey")

@@ -29,7 +29,6 @@ from project_fauna_spark.plans.registry import register
     ),
     c AS (
       SELECT user_id, week,
-             MIN(week) OVER (PARTITION BY user_id) AS first_week,
              LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
       FROM uw
     ),
@@ -80,12 +79,10 @@ def event_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    byu = W.partitionBy("user_id")
     c = uw.select(
         "user_id",
         "week",
-        F.min("week").over(byu).alias("first_week"),
-        F.lag("week").over(byu.orderBy("week")).alias("prev"),
+        F.lag("week").over(W.partitionBy("user_id").orderBy("week")).alias("prev"),
     )
     agg = c.groupBy("week").agg(
         F.count("*").alias("n_active"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.functions.moments import int_pearson_moments, pearson_terms
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
@@ -86,11 +87,13 @@ def ml_first_order_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality key, no funnel.  Means are single divisions of
     exact integers.
     """
-    cents = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderdate",
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    cents = cached(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
     )
     per_cust = cents.groupBy("o_custkey").agg(F.sum("c").alias("y"))
     rn = F.row_number().over(

@@ -10,10 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.functions.vectors import cosine_sim
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import SQL_COS
-from project_fauna_spark.plans.registry import register, sql_dsum
+from project_fauna_spark.plans.registry import dsum, register, sql_dsum
 
 # --------------------------------------------------------------------------
 # sim_hard_negative_mining — the contrastive-training data miner
@@ -81,7 +82,7 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qemb"),
     )
-    sims = (
+    sims = cached(
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("query_id"))
         .select(
@@ -183,9 +184,6 @@ def dq_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_unit_norm"),
             F.min("nrm").alias("min_norm"),
             F.max("nrm").alias("max_norm"),
-            (
-                F.sum(F.col("nrm").cast("decimal(30,8)")).cast("double")
-                / F.count("*")
-            ).alias("mean_norm"),
+            (dsum(F.col("nrm")) / F.count("*")).alias("mean_norm"),
         )
     )

@@ -34,7 +34,13 @@ _SQL_STOP = "['" + "', '".join(STOPWORDS) + "']"
 LANGS = ["en", "de", "es", "fr", "zh"]
 _SQL_LANGS = "['" + "', '".join(LANGS) + "']"
 
-MOD_P = 1_000_000_007
+from project_fauna_spark.functions.wordhash import (  # noqa: E402
+    SQL_WORD_HASHES,
+    WORDHASH_MOD,
+    word_hashes,
+)
+
+MOD_P = WORDHASH_MOD  # word-level fold (base 33) shares the modulus
 
 
 @register(
@@ -164,11 +170,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     h AS (
       SELECT doc_id,
-             list_transform(words, w ->
-               list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
-                 (acc, c) -> (acc * 31 + c) % {MOD_P})) AS whashes
+             {SQL_WORD_HASHES} AS whashes
       FROM w
     )
     SELECT doc_id,
@@ -188,17 +190,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    whash = F.transform(
-        words,
-        lambda w: F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.length(w)),
-                lambda i: F.ascii(F.substr(w, i, F.lit(1))).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + c) % MOD_P,
-        ),
-    )
+    whash = word_hashes(words)  # shared base-31 fold (functions/wordhash)
     fingerprint = F.aggregate(
         whash, F.lit(0).cast("long"), lambda acc, v: (acc * 33 + v) % MOD_P
     )

@@ -1749,8 +1749,9 @@ def test_first_order_ltv_corr_replay(spark):
         .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
         .collect()
     ):
+        # HALF_UP like Spark F.round / DuckDB ROUND (Python round is HALF_EVEN)
         per_cust[r["o_custkey"]].append(
-            (r["o_orderdate"], r["o_orderkey"], round(r["o_totalprice"] * 100))
+            (r["o_orderdate"], r["o_orderkey"], math.floor(r["o_totalprice"] * 100 + 0.5))
         )
     by_seg = defaultdict(list)
     for ck, orders in per_cust.items():
