@@ -1876,3 +1876,57 @@ def test_embedding_norm_audit_bounds(spark):
         assert 0 <= r["n_unit_norm"] <= r["n_vecs"]
         assert 0.0 <= r["min_norm"] <= r["max_norm"]
         assert r["min_norm"] - 1e-6 <= r["mean_norm"] <= r["max_norm"] + 1e-6
+
+
+# ---- batch 33 (extras39) ----
+
+
+def test_mix_shift_tvd_replay(spark):
+    rows = QUERIES["event_mix_shift_tvd"](spark, SF).collect()
+    assert rows
+    from collections import Counter, defaultdict
+    from datetime import timedelta
+
+    from project_fauna_spark.io import load_table
+
+    weeks = defaultdict(Counter)
+    for r in load_table(spark, SF, "events").select("ts", "event_type").collect():
+        d = r["ts"].date()
+        weeks[d - timedelta(days=d.weekday())][r["event_type"]] += 1
+    wlist = sorted(weeks)
+    types = sorted({t for c in weeks.values() for t in c})
+    assert len(rows) == len(wlist) - 1
+    got = {(r["week_a"], r["week_b"]): r for r in rows}
+    for wa, wb in zip(wlist, wlist[1:]):
+        ca, cb = weeks[wa], weeks[wb]
+        na, nb = sum(ca.values()), sum(cb.values())
+        nums = {t: abs(ca[t] * nb - cb[t] * na) for t in types}
+        r = got[(wa, wb)]
+        assert r["mix_tvd"] == sum(nums.values()) / (2 * na * nb)
+        best = max(nums.items(), key=lambda kv: (kv[1], kv[0]))
+        assert r["top_mover_type"] == best[0]
+        assert r["top_mover_share_diff"] == best[1] / (na * nb)
+        assert 0.0 <= r["mix_tvd"] <= 1.0
+
+
+def test_stream_gap_audit_replay(spark):
+    (r,) = QUERIES["ts_stream_gap_audit"](spark, SF).collect()
+    from project_fauna_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    ts = sorted(
+        {
+            row["us"]
+            for row in load_table(spark, SF, "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .collect()
+        }
+    )
+    gaps = [(b - a, a) for a, b in zip(ts, ts[1:])]
+    assert r["n_distinct_ts"] == len(ts)
+    assert r["span_us"] == ts[-1] - ts[0]
+    assert r["n_alert_gaps"] == sum(1 for g, _ in gaps if g > 300_000_000)
+    assert r["largest_gap_us"] == max(g for g, _ in gaps)
+    assert r["largest_gap_start_us"] == min(
+        a for g, a in gaps if g == r["largest_gap_us"]
+    )
