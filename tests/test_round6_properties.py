@@ -1930,3 +1930,59 @@ def test_stream_gap_audit_replay(spark):
     assert r["largest_gap_start_us"] == min(
         a for g, a in gaps if g == r["largest_gap_us"]
     )
+
+
+# ---- batch 34 (extras40) ----
+
+
+def test_theil_sen_replay(spark):
+    (r,) = QUERIES["ts_theil_sen_trend"](spark, SF).collect()
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+
+    daily = Counter()
+    for row in load_table(spark, SF, "events").select("ts").collect():
+        daily[row["ts"].date().toordinal()] += 1
+    pts = sorted(daily.items())
+    slopes = sorted(
+        (yb - ya) / (xb - xa)
+        for i, (xa, ya) in enumerate(pts)
+        for xb, yb in pts[i + 1 :]
+    )
+    m = len(slopes)
+    assert r["n_days"] == len(pts)
+    assert r["n_pairs"] == m
+    med = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    assert abs(r["theil_sen_slope"] - med) < 1e-12
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    assert abs(r["ols_slope"] - (n * sxy - sx * sy) / (n * sxx - sx * sx)) < 1e-12
+
+
+def test_unit_price_dispersion_replay(spark):
+    rows = QUERIES["q_unit_price_dispersion"](spark, SF).collect()
+    assert len(rows) == 20
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    per_part = defaultdict(list)
+    for r in (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        per_part[r["l_partkey"]].append(r["l_extendedprice"] / r["l_quantity"])
+    stats = {
+        k: (len(v), min(v), max(v), max(v) / min(v))
+        for k, v in per_part.items()
+        if len(v) >= 5
+    }
+    expect = sorted(stats, key=lambda k: (-stats[k][3], k))[:20]
+    assert [r["l_partkey"] for r in rows] == expect
+    for r in rows:
+        n, lo, hi, ratio = stats[r["l_partkey"]]
+        assert (r["n_lines"], r["min_unit_price"], r["max_unit_price"]) == (n, lo, hi)
+        assert r["dispersion_ratio"] == ratio >= 1.0
