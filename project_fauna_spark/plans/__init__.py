@@ -27,20 +27,19 @@ extras21 ×2, extras22 ×2, extras23 ×2, extras24 ×2, extras25 ×2,
 extras26 ×2, extras27 ×2, extras28 ×2, extras29 ×2,
 extras30 ×2, extras31 ×2, extras32 ×2, extras33 ×2, extras34 ×2,
 extras35 ×2, extras36 ×2, extras37 ×2, extras38 ×2, extras39 ×2,
-extras40 ×2) plus streaming_batch's
+extras40 ×2, extras41 ×2) plus streaming_batch's
 stream_dedup_suppress_repeats and the old-set remainder (42 pre-r6
 never-graded minus r7's 40 staged = 2) fill r8 — after r8 zero
-never-graded queries remain (123 never-graded exist after r6's
-grading: 42 pre-r6 + 81 r6-added; r7 takes 50, r8 the next 73 plus
+never-graded queries remain (125 never-graded exist after r6's
+grading: 42 pre-r6 + 83 r6-added; r7 takes 50, r8 the next 75 plus
 re-grade spares; overflow spills to r9 — prioritize oldest-added
 first).  Sweep coverage: the full registry passed the
-typed foreign-session sweep at sf0.01 (305/305 on 2026-08-15,
-re-confirmed at 309 after batches 7-8, and DEFINITIVELY at 329/329
-after batches 9-16 + all four code-review rounds — zero failures);
-at sf0.1, positions 1-300 passed 300/300 and every later addition
-(extras11-23, all 24 queries of batches 9-17 plus the refactored
-sim_label_centroid) was verified individually in foreign sessions at
-BOTH sf0.01 and sf0.1.
+typed foreign-session sweep at sf0.01 (most recently 361/361 on
+2026-08-15 after batches 22-33 + the fifth code-review round — zero
+failures; earlier checkpoints 305, 309, 329); at sf0.1, positions
+1-300 passed 300/300 and every later addition (every batch-18+ query
+through extras40) was verified individually in foreign sessions at
+BOTH sf0.01 and sf0.1 (batches 25+ also at sf0.001).
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
@@ -94,6 +93,7 @@ import project_fauna_spark.operators.extras37  # noqa: F401,E402
 import project_fauna_spark.operators.extras38  # noqa: F401,E402
 import project_fauna_spark.operators.extras39  # noqa: F401,E402
 import project_fauna_spark.operators.extras40  # noqa: F401,E402
+import project_fauna_spark.operators.extras41  # noqa: F401,E402
 # --- driver-green in rounds 2-5: back of the rotation ---
 import project_fauna_spark.operators.extras4  # noqa: F401,E402
 import project_fauna_spark.operators.graph  # noqa: F401,E402

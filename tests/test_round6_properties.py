@@ -1986,3 +1986,47 @@ def test_unit_price_dispersion_replay(spark):
         n, lo, hi, ratio = stats[r["l_partkey"]]
         assert (r["n_lines"], r["min_unit_price"], r["max_unit_price"]) == (n, lo, hi)
         assert r["dispersion_ratio"] == ratio >= 1.0
+
+
+# ---- batch 35 (extras41) ----
+
+
+def test_signal_features_replay(spark):
+    rows = QUERIES["mm_signal_features"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+        if len(r["text"].encode()) == len(r["text"]) and len(r["text"]) > 0
+    }
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows[:50]:
+        text = docs[r["doc_id"]]
+        n = len(text)
+        s = sum(ord(c) for c in text)
+        devs = [n * ord(c) - s for c in text]
+        assert r["n_samples"] == n
+        assert r["energy_scaled"] == sum(d * d for d in devs)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(devs, devs[1:]) if a * b < 0
+        )
+        assert r["peak_dev_scaled"] == max(abs(d) for d in devs)
+
+
+def test_grouped_agg_median_replay(spark):
+    rows = QUERIES["udf_grouped_agg_median"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    ids = defaultdict(list)
+    for r in load_table(spark, SF, "events").select("event_type", "event_id").collect():
+        ids[r["event_type"]].append(r["event_id"])
+    assert {r["event_type"] for r in rows} == set(ids)
+    for r in rows:
+        v = sorted(ids[r["event_type"]])
+        assert r["n_events"] == len(v)
+        assert r["median_event_id"] == v[(len(v) - 1) // 2]  # lower median
