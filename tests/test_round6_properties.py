@@ -2030,3 +2030,70 @@ def test_grouped_agg_median_replay(spark):
         v = sorted(ids[r["event_type"]])
         assert r["n_events"] == len(v)
         assert r["median_event_id"] == v[(len(v) - 1) // 2]  # lower median
+
+
+# ---- batch 36 (extras42) ----
+
+
+def test_time_decay_attribution_conserves_credit(spark):
+    rows = QUERIES["event_time_decay_attribution"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    views = defaultdict(list)
+    purchases = []
+    for r in load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect():
+        if r["event_type"] == "view":
+            views[r["user_id"]].append(r["ts"].date())
+        elif r["event_type"] == "purchase":
+            purchases.append((r["user_id"], r["ts"].date()))
+    credit = defaultdict(float)
+    touches = defaultdict(int)
+    n_attributable = 0
+    for u, pday in purchases:
+        ws = [
+            (vday, 128 >> (pday - vday).days)
+            for vday in views.get(u, [])
+            if 0 <= (pday - vday).days <= 7
+        ]
+        if not ws:
+            continue
+        n_attributable += 1
+        tw = sum(w for _, w in ws)
+        for vday, w in ws:
+            credit[vday] += w / tw
+            touches[vday] += 1
+    got = {r["view_day"]: r for r in rows}
+    assert set(got) == set(credit)
+    for day, r in got.items():
+        assert r["n_touches"] == touches[day]
+        assert abs(r["credit"] - credit[day]) < 1e-6
+    assert abs(sum(r["credit"] for r in rows) - n_attributable) < 1e-6
+
+
+def test_snapshot_diff_replay(spark):
+    (r,) = QUERIES["cdc_snapshot_diff"](spark, SF).collect()
+    from datetime import date
+
+    from project_fauna_spark.io import load_table
+
+    t1, t2 = date(1998, 6, 30), date(1999, 6, 30)
+    s1, s2 = {}, {}
+    for row in load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect():
+        d, k, v = row["o_orderdate"].date(), row["o_custkey"], row["o_orderkey"]
+        if d <= t1 and (k not in s1 or (d, v) > s1[k]):
+            s1[k] = (d, v)
+        if d <= t2 and (k not in s2 or (d, v) > s2[k]):
+            s2[k] = (d, v)
+    assert r["n_keys_t1"] == len(s1) and r["n_keys_t2"] == len(s2)
+    assert r["n_added"] == len(set(s2) - set(s1))
+    assert r["n_changed"] == sum(1 for k in s1 if s2[k][1] != s1[k][1])
+    assert r["n_unchanged"] == sum(1 for k in s1 if s2[k][1] == s1[k][1])
+    assert r["n_keys_t1"] == r["n_changed"] + r["n_unchanged"]
+    assert r["n_keys_t2"] == r["n_keys_t1"] + r["n_added"]
