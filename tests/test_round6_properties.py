@@ -2097,3 +2097,60 @@ def test_snapshot_diff_replay(spark):
     assert r["n_unchanged"] == sum(1 for k in s1 if s2[k][1] == s1[k][1])
     assert r["n_keys_t1"] == r["n_changed"] + r["n_unchanged"]
     assert r["n_keys_t2"] == r["n_keys_t1"] + r["n_added"]
+
+
+# ---- batch 37 (extras43) ----
+
+
+def test_fim_split_plan_replay(spark):
+    rows = QUERIES["llm_fim_split_plan"](spark, SF).collect()
+    assert rows
+    import hashlib
+
+    from project_fauna_spark.io import load_table
+
+    texts = {r["doc_id"]: r["text"] for r in load_table(spark, SF, "documents").collect()}
+    assert {r["doc_id"] for r in rows} == set(texts)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for r in rows[:100]:
+        ws = texts[r["doc_id"]].split(" ")
+        n = len(ws)
+        a = h32(f"fim_a:{r['doc_id']}") % (n + 1)
+        b = h32(f"fim_b:{r['doc_id']}") % (n + 1)
+        lo, hi = min(a, b), max(a, b)
+        assert r["n_tokens"] == n
+        assert (r["prefix_len"], r["middle_len"], r["suffix_len"]) == (
+            lo,
+            hi - lo,
+            n - hi,
+        )
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == n
+        assert r["psm_len"] == n + 3
+        assert r["middle_frac"] == (hi - lo) / n
+        mid = " ".join(ws[lo:hi])
+        assert r["middle_digest"] == hashlib.md5(mid.encode()).hexdigest()
+
+
+def test_streak_histogram_replay(spark):
+    rows = QUERIES["event_streak_histogram"](spark, SF).collect()
+    assert rows
+    from collections import Counter, defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    days = defaultdict(set)
+    for r in load_table(spark, SF, "events").select("user_id", "ts").collect():
+        days[r["user_id"]].add(r["ts"].date().toordinal())
+    hist = Counter()
+    for u, ds in days.items():
+        ordered = sorted(ds)
+        best = run = 1
+        for a, b in zip(ordered, ordered[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        hist[best] += 1
+    assert {r["max_streak_days"]: r["n_users"] for r in rows} == dict(hist)
+    assert sum(r["n_users"] for r in rows) == len(days)
