@@ -2154,3 +2154,68 @@ def test_streak_histogram_replay(spark):
         hist[best] += 1
     assert {r["max_streak_days"]: r["n_users"] for r in rows} == dict(hist)
     assert sum(r["n_users"] for r in rows) == len(days)
+
+
+# ---- batch 38 (extras44) ----
+
+
+def test_token_apportion_exact(spark):
+    rows = QUERIES["llm_token_budget_apportion"](spark, SF).collect()
+    assert rows
+    from project_fauna_spark.io import load_table
+
+    from collections import Counter
+
+    c = Counter()
+    for r in load_table(spark, SF, "documents").select("source", "text").collect():
+        c[r["source"]] += len(r["text"].split(" "))
+    total = sum(c.values())
+    T = 1_000_000
+    base = {s: (T * n) // total for s, n in c.items()}
+    rem = {s: (T * n) % total for s, n in c.items()}
+    n_extra = T - sum(base.values())
+    extras = set(sorted(c, key=lambda s: (-rem[s], s))[:n_extra])
+    got = {r["source"]: r for r in rows}
+    assert set(got) == set(c)
+    assert sum(r["final_alloc"] for r in rows) == T
+    for s, r in got.items():
+        assert r["n_tokens"] == c[s]
+        assert r["base_alloc"] == base[s]
+        assert r["got_extra"] == (s in extras)
+        assert r["final_alloc"] == base[s] + (1 if s in extras else 0)
+
+
+def test_assortativity_replay(spark):
+    (r,) = QUERIES["graph_degree_assortativity"](spark, SF).collect()
+    import math
+
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+
+    o = {x["o_orderkey"]: x["o_custkey"] for x in load_table(spark, SF, "orders").collect()}
+    cn = {x["c_custkey"]: x["c_nationkey"] for x in load_table(spark, SF, "customer").collect()}
+    sn = {x["s_suppkey"]: x["s_nationkey"] for x in load_table(spark, SF, "supplier").collect()}
+    und = set()
+    for x in load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect():
+        a, b = cn[o[x["l_orderkey"]]], sn[x["l_suppkey"]]
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    deg = Counter()
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    pts = [(deg[u], deg[v]) for u, v in und] + [(deg[v], deg[u]) for u, v in und]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    assert r["n_nodes"] == len(deg)
+    assert r["n_edges"] == len(und)
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    if dx > 0 and dy > 0:
+        expect = (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy))
+        assert abs(r["assortativity"] - expect) < 1e-12
+        assert -1.0 - 1e-12 <= r["assortativity"] <= 1.0 + 1e-12
+    else:
+        assert r["assortativity"] is None
