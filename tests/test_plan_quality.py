@@ -296,3 +296,55 @@ def test_two_phase_ranks_never_funnel_raw_data(spark):
             assert bucket_col in s, (
                 f"{name}: raw-data window lost its {bucket_col} de-skew key: {s}"
             )
+
+
+def test_round6_late_bucketed_windows_carry_bucket_key(spark):
+    """Batches 27/28/33: raw-data adjacent-diff / rank windows must
+    carry their bucket key (same de-skew rule as the two-phase ranks)."""
+    import re
+
+    cases = [
+        ("sample_systematic_stride", "hv", "bucket"),
+        ("dq_sequence_gap_audit", "key", "bucket"),
+        ("ts_stream_gap_audit", "us", "bucket"),
+    ]
+    for name, row_col, bucket_col in cases:
+        plan = plan_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        row_specs = [s for s in specs if row_col in s and bucket_col not in s]
+        # every window ordering by the row column must carry the bucket
+        # key; the only bare-key windows allowed are over the tiny
+        # bucket-summary frame (those order by bucket, not the row col)
+        assert not row_specs, f"{name}: raw window lost its bucket key: {row_specs}"
+
+
+def test_round6_late_joins_never_cartesian(spark):
+    for name in (
+        "event_audience_overlap",
+        "sim_hard_negative_mining",
+        "graph_kcore_peel",
+        "sim_metric_rank_agreement",
+        "graph_degree_assortativity",
+        "event_time_decay_attribution",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "collect()" not in plan, name
+
+
+def test_fim_split_plan_is_shuffle_free(spark):
+    """llm_fim_split_plan is pure per-row expression work — the plan
+    must contain NO exchange and NO Python evaluation at all."""
+    plan = plan_of(spark, "llm_fim_split_plan")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phash_and_signal_use_arrow_not_rowwise(spark):
+    for name, marker in (
+        ("mm_phash_dedup", "MapInPandas"),
+        ("udf_grouped_agg_median", "Aggregate"),
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+    assert "MapInPandas" in plan_of(spark, "mm_phash_dedup")
