@@ -2219,3 +2219,48 @@ def test_assortativity_replay(spark):
         assert -1.0 - 1e-12 <= r["assortativity"] <= 1.0 + 1e-12
     else:
         assert r["assortativity"] is None
+
+
+# ---- batch 39 (extras45) ----
+
+
+def test_price_volume_mix_bridges_exactly(spark):
+    rows = sorted(
+        QUERIES["q_price_volume_mix"](spark, SF).collect(),
+        key=lambda r: r["year_from"],
+    )
+    assert rows
+    for r in rows:
+        assert r["year_to"] == r["year_from"] + 1
+        # Laspeyres decomposition closes exactly up to IEEE rounding of
+        # the two effect products
+        assert abs(
+            (r["volume_effect"] + r["price_effect"]) - r["delta_rev"]
+        ) <= 1e-6 * max(1.0, abs(r["delta_rev"]))
+        assert r["delta_rev"] == r["rev_to"] - r["rev_from"]
+
+
+def test_effective_categories_replay(spark):
+    rows = QUERIES["dq_effective_categories"](spark, SF).collect()
+    assert len(rows) == 4
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+
+    specs = {
+        "events.event_type": ("events", "event_type"),
+        "documents.lang": ("documents", "lang"),
+        "documents.source": ("documents", "source"),
+        "customer.c_mktsegment": ("customer", "c_mktsegment"),
+    }
+    for r in rows:
+        table, col = specs[r["column_name"]]
+        c = Counter(x[col] for x in load_table(spark, SF, table).select(col).collect())
+        n = sum(c.values())
+        eff = n * n / sum(v * v for v in c.values())
+        assert r["n_rows"] == n
+        assert r["n_distinct"] == len(c)
+        assert abs(r["effective_n"] - eff) < 1e-9
+        assert abs(r["balance_ratio"] - eff / len(c)) < 1e-12
+        assert 0.0 < r["balance_ratio"] <= 1.0 + 1e-12
+        assert 1.0 <= r["effective_n"] <= r["n_distinct"] + 1e-9
