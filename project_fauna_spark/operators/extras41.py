@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -83,15 +84,17 @@ def mm_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.length("text").alias("n"), "text")
     )
-    b = d0.select(
-        "doc_id",
-        "n",
-        F.posexplode(F.split("text", "")).alias("i0", "ch"),
-    ).select(
-        "doc_id",
-        "n",
-        (F.col("i0") + 1).alias("i"),
-        F.ascii("ch").cast("long").alias("v"),
+    b = cached(
+        d0.select(
+            "doc_id",
+            "n",
+            F.posexplode(F.split("text", "")).alias("i0", "ch"),
+        ).select(
+            "doc_id",
+            "n",
+            (F.col("i0") + 1).alias("i"),
+            F.ascii("ch").cast("long").alias("v"),
+        )
     )
     t = b.groupBy("doc_id").agg(F.sum("v").alias("sv"))
     dev = (F.col("n") * F.col("v") - F.col("sv")).alias("dev")
@@ -178,6 +181,9 @@ def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians = e.groupBy("event_type").agg(
         lower_median("event_id").alias("median_event_id")
     )
-    return counts.join(medians, "event_type").select(
+    # eqNullSafe: a regenerated corpus with NULL event_type must keep
+    # the NULL-keyed group like the oracle's GROUP BY does.
+    m2 = medians.withColumnRenamed("event_type", "et")
+    return counts.join(m2, counts.event_type.eqNullSafe(m2.et)).select(
         "event_type", "n_events", "median_event_id"
     )
