@@ -2264,3 +2264,69 @@ def test_effective_categories_replay(spark):
         assert abs(r["balance_ratio"] - eff / len(c)) < 1e-12
         assert 0.0 < r["balance_ratio"] <= 1.0 + 1e-12
         assert 1.0 <= r["effective_n"] <= r["n_distinct"] + 1e-9
+
+
+# ---- batch 40 (extras46) ----
+
+
+def test_vocab_coverage_replay(spark):
+    rows = sorted(
+        QUERIES["text_vocab_coverage_curve"](spark, SF).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert [r["vocab_size"] for r in rows] == [100, 1000, 10000]
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+
+    c = Counter()
+    for r in load_table(spark, SF, "documents").select("text").collect():
+        c.update(r["text"].split(" "))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    prev = -1.0
+    for r in rows:
+        covered = sum(v for _, v in ordered[: r["vocab_size"]])
+        assert r["n_vocab"] == len(c) and r["n_tokens"] == total
+        assert r["tokens_covered"] == covered
+        assert r["coverage"] == covered / total
+        assert prev <= r["coverage"] <= 1.0  # monotone in vocab size
+        prev = r["coverage"]
+
+
+def test_period_scan_replay(spark):
+    rows = QUERIES["ts_period_scan"](spark, SF).collect()
+    assert len(rows) == 13
+    from collections import Counter, defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    daily = Counter()
+    for r in load_table(spark, SF, "events").select("ts").collect():
+        daily[r["ts"].date()] += 1
+    ys = [daily[d] for d in sorted(daily)]
+    nd = len(ys)
+    expect = {}
+    for p in range(2, 15):
+        m = nd // p
+        used = ys[: p * m]
+        phases = defaultdict(list)
+        for i, y in enumerate(used):
+            phases[i % p].append(y)
+        t = sum(used)
+        ssx = sum(y * y for y in used)
+        s2 = sum(sum(v) ** 2 for v in phases.values())
+        den = len(used) * ssx - t * t
+        expect[p] = (m, len(used), (p * s2 - t * t) / den if den > 0 else None)
+    got = {r["period"]: r for r in rows}
+    for p, (m, n_used, r2) in expect.items():
+        r = got[p]
+        assert (r["folds"], r["n_used"]) == (m, n_used)
+        if r2 is None:
+            assert r["between_r2"] is None
+        else:
+            assert abs(r["between_r2"] - r2) < 1e-12
+            assert -1e-12 <= r["between_r2"] <= 1.0 + 1e-12
+    valid = {p: v[2] for p, v in expect.items() if v[2] is not None}
+    best = max(valid, key=lambda p: (valid[p], -p))
+    assert [r["period"] for r in rows if r["is_best"]] == [best]
