@@ -2330,3 +2330,73 @@ def test_period_scan_replay(spark):
     valid = {p: v[2] for p, v in expect.items() if v[2] is not None}
     best = max(valid, key=lambda p: (valid[p], -p))
     assert [r["period"] for r in rows if r["is_best"]] == [best]
+
+
+# ---- batch 41 (extras47) ----
+
+
+def test_corr_matrix_replay(spark):
+    rows = QUERIES["dq_numeric_corr_matrix"](spark, SF).collect()
+    assert len(rows) == 6
+    import math
+
+    from project_fauna_spark.io import load_table
+
+    data = []
+    for r in (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .collect()
+    ):
+        data.append(
+            {
+                "qty": int(r["l_quantity"]),
+                "price_c": math.floor(r["l_extendedprice"] * 100 + 0.5),
+                "disc_bp": math.floor(r["l_discount"] * 100 + 0.5),
+                "tax_bp": math.floor(r["l_tax"] * 100 + 0.5),
+            }
+        )
+    n = len(data)
+    for r in rows:
+        a, b = r["col_a"], r["col_b"]
+        sa = sum(x[a] for x in data); sb = sum(x[b] for x in data)
+        sab = sum(x[a] * x[b] for x in data)
+        saa = sum(x[a] ** 2 for x in data); sbb = sum(x[b] ** 2 for x in data)
+        dx, dy = n * saa - sa * sa, n * sbb - sb * sb
+        if dx > 0 and dy > 0:
+            expect = (n * sab - sa * sb) / (math.sqrt(dx) * math.sqrt(dy))
+            assert abs(r["corr"] - expect) < 1e-12, (a, b)
+            assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+        else:
+            assert r["corr"] is None
+
+
+def test_centroid_drift_replay(spark):
+    rows = QUERIES["sim_centroid_drift_halves"](spark, SF).collect()
+    assert rows
+    import math
+
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    halves = defaultdict(lambda: ([], []))
+    for r in load_table(spark, SF, "embeddings").collect():
+        halves[r["label"]][r["vec_id"] % 2].append(
+            [float(x) for x in r["embedding"]]
+        )
+    got = {r["label"]: r for r in rows}
+    for label, (ev, od) in halves.items():
+        if not ev or not od:
+            assert label not in got
+            continue
+        r = got[label]
+        assert (r["n_even"], r["n_odd"]) == (len(ev), len(od))
+        ca = [sum(v[k] for v in ev) / len(ev) for k in range(len(ev[0]))]
+        cb = [sum(v[k] for v in od) / len(od) for k in range(len(od[0]))]
+        dot = sum(x * y for x, y in zip(ca, cb))
+        expect = dot / math.sqrt(
+            sum(x * x for x in ca) * sum(y * y for y in cb)
+        )
+        assert abs(r["drift_cos"] - expect) < 1e-9
+        assert -1.0 <= r["drift_cos"] <= 1.0 + 1e-12
