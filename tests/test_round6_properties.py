@@ -2400,3 +2400,58 @@ def test_centroid_drift_replay(spark):
         )
         assert abs(r["drift_cos"] - expect) < 1e-9
         assert -1.0 <= r["drift_cos"] <= 1.0 + 1e-12
+
+
+# ---- batch 42 (extras48) ----
+
+
+def test_boilerplate_ngrams_replay(spark):
+    rows = QUERIES["dedup_boilerplate_ngrams"](spark, SF).collect()
+    assert len(rows) == 20
+    import hashlib
+
+    from collections import defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    docs_per = defaultdict(set)
+    occ = defaultdict(int)
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        ws = r["text"].split(" ")
+        for i in range(len(ws) - 7):
+            g = " ".join(ws[i : i + 8])
+            h = hashlib.md5(g.encode()).hexdigest()
+            docs_per[h].add(r["doc_id"])
+            occ[h] += 1
+    shared = {h for h, d in docs_per.items() if len(d) >= 2}
+    expect = sorted(shared, key=lambda h: (-len(docs_per[h]), -occ[h], h))[:20]
+    assert [r["gram_digest"] for r in rows] == expect
+    for r in rows:
+        h = r["gram_digest"]
+        assert r["n_docs"] == len(docs_per[h])
+        assert r["n_occurrences"] == occ[h]
+        assert r["example_doc"] == min(docs_per[h])
+
+
+def test_byte_uniformity_replay(spark):
+    rows = QUERIES["mm_byte_uniformity_audit"](spark, SF).collect()
+    assert rows
+    from collections import Counter
+
+    from project_fauna_spark.io import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+        if len(r["text"].encode()) == len(r["text"]) and len(r["text"]) > 0
+    }
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows[:50]:
+        text = docs[r["doc_id"]]
+        n = len(text)
+        c = Counter(ord(ch) for ch in text)
+        u = sum((256 * v - n) ** 2 for v in c.values()) + (256 - len(c)) * n * n
+        assert r["n_samples"] == n
+        assert r["distinct_bytes"] == len(c)
+        assert r["chi2_uniform"] == u / (256 * n)
+        assert r["chi2_uniform"] >= 0.0
