@@ -2455,3 +2455,42 @@ def test_byte_uniformity_replay(spark):
         assert r["distinct_bytes"] == len(c)
         assert r["chi2_uniform"] == u / (256 * n)
         assert r["chi2_uniform"] >= 0.0
+
+
+# ---- batch 43 (extras49) ----
+
+
+def test_hapax_rate_replay(spark):
+    rows = QUERIES["text_hapax_rate"](spark, SF).collect()
+    assert rows
+    from collections import Counter, defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    counts = defaultdict(Counter)
+    for r in load_table(spark, SF, "documents").select("lang", "text").collect():
+        counts[r["lang"]].update(r["text"].split(" "))
+    assert {r["lang"] for r in rows} == set(counts)
+    for r in rows:
+        c = counts[r["lang"]]
+        hapax = sum(1 for v in c.values() if v == 1)
+        assert r["n_tokens"] == sum(c.values())
+        assert r["n_vocab"] == len(c)
+        assert r["n_hapax"] == hapax
+        assert r["hapax_vocab_share"] == hapax / len(c)
+        assert r["hapax_token_share"] == hapax / sum(c.values())
+
+
+def test_component_histogram_consistent(spark):
+    rows = QUERIES["dedup_component_size_histogram"](spark, SF).collect()
+    assert rows
+    from collections import Counter
+
+    cc = QUERIES["dedup_connected_components"](spark, SF).collect()
+    sizes = Counter()
+    for _, grp in Counter(r["component_id"] for r in cc).items():
+        sizes[grp] += 1
+    assert {r["component_size"]: r["n_components"] for r in rows} == dict(sizes)
+    assert sum(r["n_docs"] for r in rows) == len(cc)
+    for r in rows:
+        assert r["n_docs"] == r["component_size"] * r["n_components"]
