@@ -2540,3 +2540,58 @@ def test_brand_return_rate_bounds(spark):
         assert r["return_rate"] == r["n_returned"] / r["n_lines"]
         assert -1e-9 <= r["ci_low"] <= r["return_rate"] + 1e-12
         assert r["return_rate"] - 1e-12 <= r["ci_high"] <= 1.0 + 1e-9
+
+
+# ---- batch 45 (extras51) ----
+
+
+def test_sample_accuracy_replay(spark):
+    (r,) = QUERIES["sample_estimate_accuracy"](spark, SF).collect()
+    import hashlib
+
+    from project_fauna_spark.io import load_table
+
+    n = n_s = q = q_s = 0
+    for row in (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .collect()
+    ):
+        key = f"acc:{row['l_orderkey']}_{row['l_linenumber']}"
+        sampled = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 10 == 0
+        n += 1
+        q += int(row["l_quantity"])
+        if sampled:
+            n_s += 1
+            q_s += int(row["l_quantity"])
+    assert (r["n_rows"], r["n_sampled"]) == (n, n_s)
+    assert (r["exact_qty"], r["est_qty"]) == (q, 10 * q_s)
+    assert r["qty_rel_error"] == 10 * q_s / q - 1
+    assert abs(r["qty_rel_error"]) < 0.1  # 10% sample of 60k rows is tight
+    assert abs(r["rev_rel_error"]) < 0.1
+    assert abs(r["est_rev"] / r["exact_rev"] - 1 - r["rev_rel_error"]) < 1e-12
+    # sample fraction near 10%
+    assert abs(n_s / n - 0.1) < 0.02
+
+
+def test_habit_hour_replay(spark):
+    rows = QUERIES["event_habit_hour"](spark, SF).collect()
+    assert rows
+    from collections import Counter, defaultdict
+
+    from project_fauna_spark.io import load_table
+
+    per_user = defaultdict(Counter)
+    for r in load_table(spark, SF, "events").select("user_id", "ts").collect():
+        per_user[r["user_id"]][r["ts"].hour] += 1
+    dist = defaultdict(list)
+    for u, c in per_user.items():
+        modal = max(c, key=lambda h: (c[h], -h))
+        dist[modal].append(c[modal] / sum(c.values()))
+    got = {r["modal_hour"]: r for r in rows}
+    assert set(got) == set(dist)
+    for h, shares in dist.items():
+        r = got[h]
+        assert r["n_users"] == len(shares)
+        assert abs(r["mean_concentration"] - sum(shares) / len(shares)) < 1e-9
+        assert 0.0 < r["mean_concentration"] <= 1.0
