@@ -29,18 +29,18 @@ extras30 ×2, extras31 ×2, extras32 ×2, extras33 ×2, extras34 ×2,
 extras35 ×2, extras36 ×2, extras37 ×2, extras38 ×2, extras39 ×2,
 extras40 ×2, extras41 ×2, extras42 ×2, extras43 ×2, extras44 ×2,
 extras45 ×2, extras46 ×2, extras47 ×2, extras48 ×2, extras49 ×2,
-extras50 ×2, extras51 ×2) plus streaming_batch's
+extras50 ×2, extras51 ×2, extras52 ×2) plus streaming_batch's
 stream_dedup_suppress_repeats and the old-set remainder (42 pre-r6
 never-graded minus r7's 40 staged = 2) fill r8 — after r8 zero
-never-graded queries remain (145 never-graded exist after r6's
-grading: 42 pre-r6 + 103 r6-added; r7 takes 50, r8 the next 95 plus
+never-graded queries remain (147 never-graded exist after r6's
+grading: 42 pre-r6 + 105 r6-added; r7 takes 50, r8 the next 97 plus
 re-grade spares; overflow spills to r9 — prioritize oldest-added
 first).  Sweep coverage: the full registry passed the
 typed foreign-session sweep at sf0.01 (most recently 373/373 on
 2026-08-15 after batches 22-38 + the fifth code-review round — zero
 failures; earlier checkpoints 305, 309, 329, 361); at sf0.1,
 positions 1-300 passed 300/300 and every later addition (every
-batch-18+ query through extras51) was verified individually in
+batch-18+ query through extras52) was verified individually in
 foreign sessions at BOTH sf0.01 and sf0.1 (batches 25+ also at
 sf0.001).
 """
@@ -107,6 +107,7 @@ import project_fauna_spark.operators.extras48  # noqa: F401,E402
 import project_fauna_spark.operators.extras49  # noqa: F401,E402
 import project_fauna_spark.operators.extras50  # noqa: F401,E402
 import project_fauna_spark.operators.extras51  # noqa: F401,E402
+import project_fauna_spark.operators.extras52  # noqa: F401,E402
 # --- driver-green in rounds 2-5: back of the rotation ---
 import project_fauna_spark.operators.extras4  # noqa: F401,E402
 import project_fauna_spark.operators.graph  # noqa: F401,E402

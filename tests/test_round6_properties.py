@@ -2595,3 +2595,56 @@ def test_habit_hour_replay(spark):
         assert r["n_users"] == len(shares)
         assert abs(r["mean_concentration"] - sum(shares) / len(shares)) < 1e-9
         assert 0.0 < r["mean_concentration"] <= 1.0
+
+
+# ---- batch 46 (extras52) ----
+
+
+def test_growth_contribution_closes(spark):
+    rows = QUERIES["q_growth_contribution_by_segment"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_pair = defaultdict(list)
+    for r in rows:
+        by_pair[(r["year_from"], r["year_to"])].append(r)
+    for (yf, yt), rs in by_pair.items():
+        assert yt == yf + 1
+        shares = [r["contribution_share"] for r in rs if r["contribution_share"] is not None]
+        if shares and len(shares) == len(rs):
+            assert abs(sum(shares) - 1.0) < 1e-9, (yf, yt)
+
+
+def test_top_customer_churn_replay(spark):
+    rows = sorted(
+        QUERIES["q_top_customer_churn"](spark, SF).collect(),
+        key=lambda r: r["year_from"],
+    )
+    assert rows
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from project_fauna_spark.io import load_table
+
+    rev = defaultdict(lambda: defaultdict(Decimal))
+    for r in load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect():
+        rev[r["o_orderdate"].year][r["o_custkey"]] += Decimal(repr(r["o_totalprice"]))
+    tops = {
+        y: set(
+            sorted(m, key=lambda c: (-float(m[c]), c))[:10]
+        )
+        for y, m in rev.items()
+    }
+    years = sorted(tops)
+    expect = {
+        (a, b): len(tops[a] & tops[b]) for a, b in zip(years, years[1:])
+    }
+    got = {(r["year_from"], r["year_to"]): r for r in rows}
+    assert set(got) == set(expect)
+    for k, n_ret in expect.items():
+        r = got[k]
+        assert r["n_retained"] == n_ret
+        assert r["n_new"] == 10 - n_ret
+        assert r["retention"] == n_ret / 10
