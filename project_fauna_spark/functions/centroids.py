@@ -23,25 +23,38 @@ SQL_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 SQL_ZIPADD = "list_transform(range(1, len(a)+1), k -> a[k] + b[k])"
 
 
-def sql_centroid_ctes(fold_k: int, emb_expr: str = SQL_EMB_D) -> str:
+def sql_centroid_ctes(
+    fold_k: int,
+    emb_expr: str = SQL_EMB_D,
+    where: str = "",
+    tag: str = "",
+) -> str:
     """The e/b/g/cent CTE chain (no leading WITH) building per-label
-    centroids in DuckDB with the identical two-level fold."""
+    centroids in DuckDB with the identical two-level fold.
+
+    ``where`` restricts the source rows (e.g. a parity split for
+    drift checks); ``tag`` suffixes the CTE names so two chains can
+    coexist in one WITH.  ``cent`` carries ``n`` alongside the
+    centroid — consumers that only need (label, centroid) ignore it.
+    """
+    t = f"_{tag}" if tag else ""
     return f"""
-    e AS (SELECT vec_id, label, {emb_expr} AS emb FROM embeddings),
-    b AS (
+    e{t} AS (SELECT vec_id, label, {emb_expr} AS emb FROM embeddings {where}),
+    b{t} AS (
       SELECT label, vec_id // {fold_k} AS bkt,
              list_reduce(list(emb ORDER BY vec_id), (a, b) -> {SQL_ZIPADD})
                AS part,
              COUNT(*) AS n1
-      FROM e GROUP BY label, vec_id // {fold_k}
+      FROM e{t} GROUP BY label, vec_id // {fold_k}
     ),
-    g AS (
+    g{t} AS (
       SELECT label,
              list_reduce(list(part ORDER BY bkt), (a, b) -> {SQL_ZIPADD}) AS s,
              CAST(SUM(n1) AS BIGINT) AS n
-      FROM b GROUP BY label
+      FROM b{t} GROUP BY label
     ),
-    cent AS (SELECT label, list_transform(s, x -> x / n) AS centroid FROM g)"""
+    cent{t} AS (SELECT label, n, list_transform(s, x -> x / n) AS centroid
+                FROM g{t})"""
 
 
 def _fold_sorted(col: str) -> Column:
@@ -79,6 +92,7 @@ def label_centroids(df: DataFrame, fold_k: int) -> DataFrame:
         )
         .select(
             "label",
+            F.col("n"),
             F.transform(_fold_sorted("ps"), lambda x: x / F.col("n")).alias(
                 "centroid"
             ),

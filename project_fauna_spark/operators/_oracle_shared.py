@@ -139,3 +139,17 @@ SQL_CC_COMPONENTS = f"""
            COUNT(*) OVER (PARTITION BY component_id) AS n_members
     FROM comp
 """
+
+
+def sql_token_grams_cte(k: int) -> str:
+    """The ``g(doc_id, gram)`` CTE body: all consecutive k-token
+    windows of the space-split documents — the DuckDB twin of
+    ``curation._token_grams`` (both the exact-substring cleaner and
+    the boilerplate miner interpolate THIS fragment, so they can
+    never disagree about what a window is)."""
+    return f"""
+      SELECT doc_id,
+             unnest([array_to_string(ws[i:i+{k - 1}], ' ')
+                     for i in range(1, len(ws) - {k - 2})]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    """

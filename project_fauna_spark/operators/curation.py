@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.io import load_table
+from project_fauna_spark.operators._oracle_shared import sql_token_grams_cte
 from project_fauna_spark.operators.llm_extras import _ivf_centroid, _IVF_K
 from project_fauna_spark.plans.registry import register, sql_davg
 
@@ -62,12 +63,7 @@ def _token_grams(text: Column, k: int = _GRAM_K) -> Column:
 @register(
     "dedup_exact_substring",
     oracle=f"""
-    WITH g AS (
-      SELECT doc_id,
-             unnest([array_to_string(ws[i:i+{_GRAM_K - 1}], ' ')
-                     for i in range(1, len(ws) - {_GRAM_K - 2})]) AS gram
-      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-    ),
+    WITH g AS ({sql_token_grams_cte(_GRAM_K)}),
     c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
     SELECT g.doc_id,
            COUNT(*) AS n_grams,

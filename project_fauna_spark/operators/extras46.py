@@ -148,13 +148,19 @@ _PERIODS = list(range(2, 15))  # candidate cycle lengths (days)
                        / CAST(CAST(n_used * ssx - t * t AS VARCHAR) AS DOUBLE)
              END AS between_r2
       FROM per
-    )
-    SELECT period, folds, n_used, between_r2,
-           between_r2 IS NOT NULL AND
-           struct_pack(v := between_r2, np := -period) =
+    ),
+    -- zero-fold periods (series shorter than p) still emit a row:
+    -- the scan contract is ALL of 2..14, NULL when unanswerable
+    spine AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]) AS period)
+    SELECT sp.period,
+           COALESCE(sc.folds, 0) AS folds,
+           COALESCE(sc.n_used, 0) AS n_used,
+           sc.between_r2,
+           sc.between_r2 IS NOT NULL AND
+           struct_pack(v := sc.between_r2, np := -sp.period) =
              (SELECT MAX(struct_pack(v := between_r2, np := -period))
               FROM scored WHERE between_r2 IS NOT NULL) AS is_best
-    FROM scored
+    FROM spine sp LEFT JOIN scored sc ON sc.period = sp.period
     """,
 )
 def ts_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,13 +211,24 @@ def ts_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("p").cast("decimal(38,0)") * F.col("s2") - t * t
     den = F.col("n_used").cast("decimal(38,0)") * F.col("ssx") - t * t
     scored = cached(
-        per.select(
-            F.col("p").alias("period"),
-            "folds",
-            "n_used",
-            F.when(den > 0, num.cast("double") / den.cast("double")).alias(
-                "between_r2"
+        ps.select(F.col("p").alias("period"))
+        .join(
+            per.select(
+                F.col("p").alias("period"),
+                "folds",
+                "n_used",
+                F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+                    "between_r2"
+                ),
             ),
+            "period",
+            "left",
+        )
+        .select(
+            "period",
+            F.coalesce(F.col("folds"), F.lit(0)).cast("long").alias("folds"),
+            F.coalesce(F.col("n_used"), F.lit(0)).cast("long").alias("n_used"),
+            "between_r2",
         )
     )
     best = scored.filter(F.col("between_r2").isNotNull()).agg(

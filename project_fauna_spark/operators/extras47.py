@@ -14,8 +14,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from project_fauna_spark.cache import cached
 from project_fauna_spark.functions.centroids import (
-    SQL_ZIPADD,
     label_centroids,
+    sql_centroid_ctes,
 )
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import SQL_COS
@@ -131,38 +131,13 @@ def dq_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FOLD_K = 256  # the sim_label_centroid two-level fold width
 
 
-def _centroid_half_ctes(tag: str, parity: int) -> str:
-    """The e/b/g/cent chain restricted to one vec_id parity — the
-    functions/centroids fold with a WHERE, fragments kept in lockstep
-    via the shared SQL_ZIPADD spelling."""
-    return f"""
-    e_{tag} AS (SELECT vec_id, label,
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-                FROM embeddings WHERE vec_id % 2 = {parity}),
-    b_{tag} AS (
-      SELECT label, vec_id // {_FOLD_K} AS bkt,
-             list_reduce(list(emb ORDER BY vec_id), (a, b) -> {SQL_ZIPADD})
-               AS part,
-             COUNT(*) AS n1
-      FROM e_{tag} GROUP BY label, vec_id // {_FOLD_K}
-    ),
-    g_{tag} AS (
-      SELECT label,
-             list_reduce(list(part ORDER BY bkt), (a, b) -> {SQL_ZIPADD}) AS s,
-             CAST(SUM(n1) AS BIGINT) AS n
-      FROM b_{tag} GROUP BY label
-    ),
-    cent_{tag} AS (SELECT label, n, list_transform(s, x -> x / n) AS c
-                   FROM g_{tag})"""
-
-
 @register(
     "sim_centroid_drift_halves",
     oracle=f"""
-    WITH {_centroid_half_ctes('a', 0)},
-    {_centroid_half_ctes('b', 1)}
+    WITH {sql_centroid_ctes(_FOLD_K, where="WHERE vec_id % 2 = 0", tag="a")},
+    {sql_centroid_ctes(_FOLD_K, where="WHERE vec_id % 2 = 1", tag="b")}
     SELECT a.label, a.n AS n_even, b.n AS n_odd,
-           {SQL_COS.format(a='a.c', b='b.c')} AS drift_cos
+           {SQL_COS.format(a='a.centroid', b='b.centroid')} AS drift_cos
     FROM cent_a a JOIN cent_b b USING (label)
     """,
 )
@@ -188,27 +163,17 @@ def sim_centroid_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "embedding"
         )
     )
-    even, odd = e.filter(F.col("vec_id") % 2 == 0), e.filter(
-        F.col("vec_id") % 2 == 1
-    )
     from project_fauna_spark.functions.vectors import cosine_sim
 
-    a = label_centroids(even, _FOLD_K).select(
-        "label", F.col("centroid").alias("c_a")
+    a = label_centroids(e.filter(F.col("vec_id") % 2 == 0), _FOLD_K).select(
+        "label", F.col("n").alias("n_even"), F.col("centroid").alias("c_a")
     )
-    b = label_centroids(odd, _FOLD_K).select(
-        "label", F.col("centroid").alias("c_b")
+    b = label_centroids(e.filter(F.col("vec_id") % 2 == 1), _FOLD_K).select(
+        "label", F.col("n").alias("n_odd"), F.col("centroid").alias("c_b")
     )
-    na = even.groupBy("label").agg(F.count("*").alias("n_even"))
-    nb = odd.groupBy("label").agg(F.count("*").alias("n_odd"))
-    return (
-        a.join(b, "label")
-        .join(F.broadcast(na), "label")
-        .join(F.broadcast(nb), "label")
-        .select(
-            "label",
-            "n_even",
-            "n_odd",
-            cosine_sim(F.col("c_a"), F.col("c_b")).alias("drift_cos"),
-        )
+    return a.join(b, "label").select(
+        "label",
+        "n_even",
+        "n_odd",
+        cosine_sim(F.col("c_a"), F.col("c_b")).alias("drift_cos"),
     )

@@ -21,15 +21,11 @@ _BP_TOP = 20
 
 
 def _boilerplate_oracle() -> str:
+    from project_fauna_spark.operators._oracle_shared import sql_token_grams_cte
     from project_fauna_spark.operators.curation import _GRAM_K
 
     return f"""
-    WITH g AS (
-      SELECT doc_id,
-             unnest([array_to_string(ws[i:i+{_GRAM_K - 1}], ' ')
-                     for i in range(1, len(ws) - {_GRAM_K - 2})]) AS gram
-      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-    ),
+    WITH g AS ({sql_token_grams_cte(_GRAM_K)}),
     agg AS (
       SELECT md5(gram) AS gram_digest,
              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -111,8 +107,8 @@ def dedup_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     u AS (
       SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
              CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
-             CAST(SUM(CAST((256 * cb - n) AS HUGEINT) * (256 * cb - n))
-                  AS BIGINT) AS u_present
+             SUM(CAST((256 * cb - n) AS HUGEINT) * (256 * cb - n))
+               AS u_present
       FROM c GROUP BY doc_id
     )
     SELECT doc_id, n_samples, distinct_bytes,
