@@ -8,7 +8,8 @@ correlated) that Catalyst rewrites into joins.
 Scale design (100 TB):
 
 * Selective filters sit directly on the scans (pushed to parquet row
-  groups); join order puts the filtered fact first; dims broadcast.
+  groups); join order puts the filtered fact first; bounded dims
+  (nation/region) broadcast; SF-scaling tables join AQE-sized.
 * Correlated subqueries decorrelate into joins (Catalyst does this) —
   expressed here via the DataFrame API as explicit joins where the
   rewrite is mechanical, and via SQL where the subquery form is the
@@ -82,7 +83,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way star join, supplier-side dim broadcast."""
+    """TPC-H Q5 shape: 5-way star join; nation broadcasts, supplier
+    (SF-scaling) joins AQE-sized — no forced build side."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -94,7 +96,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))

@@ -274,7 +274,7 @@ def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead = F.datediff(F.col("sd"), F.col("od"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .join(s, l.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(

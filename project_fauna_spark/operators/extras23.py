@@ -73,7 +73,7 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_nationkey"
     )
     exp = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nk"))
         .agg(dsum(F.col("rev")).alias("exports"))
     )
@@ -83,7 +83,7 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     imp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(dsum(F.col("rev")).alias("imports"))
     )

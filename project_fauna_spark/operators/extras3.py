@@ -407,7 +407,8 @@ def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     The revenue aggregate is decimal-exact; the region total is a
     decimal window sum over the 25-row nation aggregate (keyspace-
     sized — a window here is NOT the RFM scale trap); both cast to
-    double only at the final division.  Dimensions broadcast into the
+    double only at the final division.  Bounded dims (nation/region)
+    broadcast into the
     lineitem scan.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -415,7 +416,7 @@ def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     re = load_table(spark, sf_dir, "region")
     rev = (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -481,7 +482,7 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part")
     ib = (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
     )

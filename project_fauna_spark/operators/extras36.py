@@ -107,7 +107,7 @@ def ml_first_order_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     t = (
         first.join(per_cust, "o_custkey")
-        .join(F.broadcast(cu), first.o_custkey == cu.c_custkey)
+        .join(cu, first.o_custkey == cu.c_custkey)
         .select("c_mktsegment", "x", "y")
     )
     m = int_pearson_moments(t, ["c_mktsegment"])

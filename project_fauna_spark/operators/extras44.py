@@ -173,7 +173,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     de = (
         o.join(cu, o.o_custkey == cu.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
         .distinct()

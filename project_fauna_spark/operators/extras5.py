@@ -629,7 +629,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()

@@ -73,7 +73,7 @@ def q_growth_contribution_by_segment(spark: SparkSession, sf_dir: str) -> DataFr
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     yr = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.year("o_orderdate").cast("long").alias("y"),

@@ -104,7 +104,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
@@ -184,7 +184,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
@@ -243,7 +243,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()

@@ -93,8 +93,8 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: fact rows whose FK misses its dim.
 
-    Each check is a left-anti join with the (broadcast) key-only dim
-    side; a healthy warehouse reports zeros — the operator exists to
+    Each check is a left-anti join with the key-only dim side (AQE
+    picks the strategy — the dims scale with SF, so no forced hint); a healthy warehouse reports zeros — the operator exists to
     prove it.  Fact scans read only the FK column."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     l = load_table(spark, sf_dir, "lineitem")
@@ -104,7 +104,7 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(fact, dim, cond, name):
         return (
-            fact.join(F.broadcast(dim), cond, "left_anti")
+            fact.join(dim, cond, "left_anti")
             .agg(F.count("*").alias("n_orphans"))
             .select(F.lit(name).alias("relationship"), "n_orphans")
         )

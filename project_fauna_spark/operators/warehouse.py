@@ -79,7 +79,8 @@ def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregation ratio (promo revenue %).
 
-    One month of lineitem joined to part (broadcastable dim at any
+    One month of lineitem joined to part (AQE picks the join strategy;
+    part scales with SF so it is never hint-broadcast — dim at any
     scale — part is ~1/30 of lineitem and only p_type is read), then a
     single-pass conditional sum.  Both sums accumulate in decimal and
     divide in double at the edge."""
@@ -90,7 +91,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias("promo"),
             dsum(rev).alias("total"),
@@ -118,7 +119,8 @@ def q_avg_yearly_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     order quantity) for one brand.  The correlated average is computed
     once per partkey — and only for partkeys of the brand (restricting
     to those keys leaves each per-key average unchanged while dropping
-    ~98% of the aggregate's input).  Brand partkeys broadcast."""
+    ~98% of the aggregate's input).  Brand partkeys join without a
+    broadcast hint (part scales with SF; AQE decides)."""
     part_b = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#16")
@@ -127,7 +129,7 @@ def q_avg_yearly_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    li_b = li.join(F.broadcast(part_b), li.l_partkey == part_b.p_partkey).drop("p_partkey")
+    li_b = li.join(part_b, li.l_partkey == part_b.p_partkey).drop("p_partkey")
     thresh = li_b.groupBy("l_partkey").agg(
         (0.2 * davg(F.col("l_quantity"))).alias("qty_thresh")
     )
@@ -159,7 +161,7 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distinct suppliers per (brand, type, size) slice, excluding
     negative-balance suppliers.  The NOT IN rewrites to an anti-join
-    against the (tiny, broadcast) blocklist — safe because s_suppkey
+    against the keys-only blocklist (AQE-sized join) — safe because s_suppkey
     is non-null; the distinct count is one partial-distinct shuffle."""
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
@@ -173,8 +175,8 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(bad_supp), l.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(bad_supp, l.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -373,7 +375,7 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spelled as a left join against the distinct key set with a
     null-flag projection — the decorrelation engines use for
-    EXISTS-in-SELECT.  The distinct side is keys-only (broadcastable);
+    EXISTS-in-SELECT.  The distinct side is keys-only (AQE-sized);
     no row duplication because keys are pre-deduplicated."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     recent = (
@@ -382,7 +384,7 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("rk"))
         .distinct()
     )
-    return c.join(F.broadcast(recent), c.c_custkey == F.col("rk"), "left").select(
+    return c.join(recent, c.c_custkey == F.col("rk"), "left").select(
         "c_custkey",
         "c_mktsegment",
         F.col("rk").isNotNull().alias("has_recent_order"),
@@ -483,7 +485,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated MIN subquery is a struct-argmin aggregate over the
     (distinct) part-supplier supply pairs; the supplier detail join is
-    a broadcast.  The supply-pair dedup is the only big shuffle."""
+    an AQE-sized join.  The supply-pair dedup is the only big shuffle."""
     l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     s = load_table(spark, sf_dir, "supplier")
     p = (
@@ -492,11 +494,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size")
     )
     supply = l.join(
-        F.broadcast(s.select("s_suppkey", "s_acctbal")), l.l_suppkey == F.col("s_suppkey")
+        s.select("s_suppkey", "s_acctbal"), l.l_suppkey == F.col("s_suppkey")
     )
     key = F.struct(F.col("s_acctbal").alias("bal"), F.col("l_suppkey").alias("sk"))
     best = (
-        supply.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        supply.join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_partkey", "p_size")
         .agg(
             F.min(key).getField("sk").alias("best_suppkey"),
@@ -504,7 +506,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.join(
-        F.broadcast(s.select("s_suppkey", "s_name")),
+        s.select("s_suppkey", "s_name"),
         best.best_suppkey == F.col("s_suppkey"),
     ).select("p_partkey", "p_size", "best_suppkey", "best_acctbal", "s_name")
 
@@ -552,7 +554,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -603,7 +605,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -646,7 +648,7 @@ def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | branch("Brand#34", 20, 50, 20, 40)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.count("*").alias("n_matches"),
@@ -707,7 +709,7 @@ def q_waiting_orders_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.join(n_supp, "l_orderkey")
         .join(n_late, late.l_orderkey == F.col("lo"))
         .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -773,7 +775,7 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     price, no partsupp table): profit per supplier nation per order
     year for one product family.
 
-    The p_name filter prunes part FIRST (broadcast), cascading the
+    The p_name filter prunes part FIRST (AQE-sized join), cascading the
     selectivity through the lineitem join before orders joins in; the
     profit expression accumulates in decimal (sum of differences —
     exactly the shuffle-order-sensitive shape dsum exists for)."""
@@ -794,8 +796,8 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(

@@ -348,3 +348,42 @@ def test_phash_and_signal_use_arrow_not_rowwise(spark):
         assert "BatchEvalPython" not in plan, name
         assert marker in plan, f"{name}: expected {marker} in plan"
 
+
+
+def test_no_forced_broadcast_of_sf_scaling_tables(spark):
+    """Repo invariant (round-7): a forced F.broadcast() hint may only
+    wrap a BOUNDED-cardinality frame (nation/region, codebooks, offset
+    tables, aggregates, probe sets).  Hinting a frame that scales with
+    SF (part / supplier / customer / orders / lineitem projections or
+    filters) forces a build side that blows Spark's 8 GB broadcast
+    ceiling at large SF and disables AQE's fallback — a hard failure at
+    the 100 TB target, while buying nothing at bench scale where AQE
+    would broadcast anyway.
+
+    Heuristic: walk every registered query's ANALYZED plan; for each
+    broadcast ResolvedHint, the hinted subtree is bounded iff it
+    contains an Aggregate / Deduplicate / GlobalLimit node (its output
+    keyspace, not the scan, is what ships) or references no SF-scaling
+    TPC-H base column at all.  nation/region columns are not markers —
+    those tables are fixed-size by construction.
+    """
+    markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
+    bounded = ("Aggregate", "Deduplicate", "GlobalLimit")
+    offenders = []
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF)
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "ResolvedHint" and (
+                "broadcast" in node.hints().toString().lower()
+            ):
+                sub = node.child().toString()
+                if any(m in sub for m in markers) and not any(
+                    b in sub for b in bounded
+                ):
+                    offenders.append(name)
+            cs = node.children()
+            for i in range(cs.size()):
+                stack.append(cs.apply(i))
+    assert sorted(set(offenders)) == [], sorted(set(offenders))
