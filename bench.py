@@ -86,6 +86,13 @@ HEADLINE = [
     "mm_phash_dedup",
     "graph_kcore_peel",
     "event_velocity_burst",
+    # round 7: the heavy non-headliners VERDICT r6 flagged as
+    # bench-invisible — a regression here was previously undetectable
+    # (baselines recorded in BASELINE.md same day)
+    "ml_minhash_lsh",
+    "dedup_threshold_sweep",
+    "event_survival_km",
+    "dq_ks_two_sample",
 ]
 
 

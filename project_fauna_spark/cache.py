@@ -23,7 +23,19 @@ _TRACKED: list[DataFrame] = []
 
 
 def cached(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
-    """Persist ``df`` (engine-default level unless given) and track it."""
+    """Persist ``df`` (engine-default level unless given) and track it.
+
+    Idempotent on PLAN identity, not object identity: ``df.storageLevel``
+    asks the JVM CacheManager whether an equivalent analyzed plan is
+    already cached (``sameResult``), so composed operators that each
+    ``cached()`` a shared subframe no longer emit ``CacheManager: Asked
+    to cache already cached data`` warnings or double-track the entry
+    (VERDICT r6 hygiene item).  The first caller's tracking entry owns
+    the release.
+    """
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk:
+        return df
     df.persist() if level is None else df.persist(level)
     _TRACKED.append(df)
     return df

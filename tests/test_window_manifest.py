@@ -1,7 +1,7 @@
 """Rotation guard: the driver grades the first 50 registry entries.
 
-The round-6 window composition is pinned against the checked-in
-``WINDOW_r6.txt`` manifest so an accidental import-order edit in
+The round-7 window composition is pinned against the checked-in
+``WINDOW_r7.txt`` manifest so an accidental import-order edit in
 ``plans/__init__.py`` (or a registration added to a pre-window module
 mid-round) fails the suite instead of silently re-grading old queries
 or perturbing the window the driver sees.
@@ -16,14 +16,14 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_first_50_match_manifest():
-    manifest = (REPO / "WINDOW_r6.txt").read_text().split()
+    manifest = (REPO / "WINDOW_r7.txt").read_text().split()
     assert len(manifest) == 50, "manifest must hold exactly 50 names"
 
     from project_fauna_spark.plans import QUERIES
 
     window = list(QUERIES)[:50]
     assert window == manifest, (
-        "grading window drifted from WINDOW_r6.txt — if this is a "
+        "grading window drifted from WINDOW_r7.txt — if this is a "
         "deliberate round-start rotation, regenerate the manifest in the "
         "same commit; otherwise revert the plans/__init__.py or operator-"
         "module change that perturbed registration order.\n"
@@ -38,3 +38,33 @@ def test_window_fully_oracled():
     window = list(QUERIES)[:50]
     missing = [n for n in window if n not in ORACLE]
     assert not missing, f"window entries without oracle: {missing}"
+
+
+def test_no_module_level_cross_operator_imports():
+    """A module-level import of another REGISTERING operator module
+    executes that module's @register calls at the importer's position
+    in plans/__init__.py — silently perturbing the grading window (the
+    round-4 lesson, re-hit by clustering.py importing llm_extras at the
+    round-7 rotation).  Shared SQL belongs in operators/_oracle_shared,
+    shared Spark helpers in functions/; cross-operator query reuse is a
+    lazy import inside the function body."""
+    import ast
+
+    ops = REPO / "project_fauna_spark" / "operators"
+    nonregistering = {"_oracle_shared"}
+    offenders = []
+    for f in sorted(ops.glob("*.py")):
+        mod = f.stem
+        tree = ast.parse(f.read_text())
+        for node in tree.body:  # module level only
+            targets = []
+            if isinstance(node, ast.ImportFrom) and node.module:
+                targets = [node.module]
+            elif isinstance(node, ast.Import):
+                targets = [a.name for a in node.names]
+            for t in targets:
+                if t.startswith("project_fauna_spark.operators."):
+                    leaf = t.split(".")[-1]
+                    if leaf not in nonregistering and leaf != mod:
+                        offenders.append(f"{mod} -> {leaf}")
+    assert offenders == [], offenders
