@@ -39,3 +39,19 @@ SQL_WORD_HASHES = f"""
                                   i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
                  (acc, c) -> (acc * 31 + c) % {WORDHASH_MOD}))
 """
+
+
+_HEX = "0123456789abcdef"
+
+
+def h32(col: Column, salt: str) -> Column:
+    """Portable 32-bit salted hash: first 8 hex digits of md5, folded
+    via digit positions — identical on both engines, no hex→int cast
+    (the ``layout._h16`` pattern widened to 32 bits).  Canonical home
+    (round 7); ``extras3._h32`` aliases this."""
+    h = F.md5(F.concat(F.lit(salt), col))
+    val: Column = F.lit(0).cast("long")  # long from the start: 16^8 > int32 (ANSI throws)
+    for pos in range(8):
+        d = F.instr(F.lit(_HEX), F.substring(h, pos + 1, 1)) - 1
+        val = val * 16 + d
+    return val

@@ -182,3 +182,18 @@ def _ivf_sql_values() -> str:
         lits = ", ".join(repr(x) for x in _ivf_centroid(k))
         rows.append(f"({k}, [{lits}])")
     return ", ".join(rows)
+
+
+def sql_h32(expr: str, salt: str) -> str:
+    """DuckDB twin of ``functions.wordhash.h32`` (md5 hex-digit fold).
+    Canonical home (round 7); ``extras3._sql_h32`` aliases this.  The
+    hex alphabet is imported from the Spark twin so the two spellings
+    can never drift apart."""
+    from project_fauna_spark.functions.wordhash import _HEX
+
+    h = f"md5('{salt}' || {expr})"
+    terms = [
+        f"(strpos('{_HEX}', substring({h}, {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+        for p in range(8)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

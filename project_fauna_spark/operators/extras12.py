@@ -17,7 +17,7 @@ _BLOOM_K = 3  # hash functions
 
 
 def _bloom_oracle() -> str:
-    from project_fauna_spark.operators.extras3 import _sql_h32
+    from project_fauna_spark.operators._oracle_shared import sql_h32 as _sql_h32
 
     pos = lambda i: (  # noqa: E731
         f"({_sql_h32('CAST(c_custkey AS VARCHAR)', f'bloom{i}:')} % {_BLOOM_M})"
@@ -96,7 +96,7 @@ def join_bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FP yet still a 57% shuffle cut); a production filter sizes
     m ≈ 10·|keys| to hold FP ≈ 1%.
     """
-    from project_fauna_spark.operators.extras3 import _h32
+    from project_fauna_spark.functions.wordhash import h32 as _h32
 
     def pos(col: Column, i: int) -> Column:
         return _h32(col.cast("string"), f"bloom{i}:") % _BLOOM_M

@@ -687,30 +687,17 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HEX = "0123456789abcdef"
 _MH_J = 8  # minhash functions; 4 bands x 2 rows
 
 
-def _h32(col: Column, salt: str) -> Column:
-    """Portable 32-bit salted hash: first 8 hex digits of md5, folded
-    via digit positions — identical on both engines, no hex→int cast
-    (the ``layout._h16`` pattern widened to 32 bits so the min of ~60
-    draws stays collision-sparse)."""
-    h = F.md5(F.concat(F.lit(salt), col))
-    val: Column = F.lit(0).cast("long")  # long from the start: 16^8 > int32 (ANSI throws)
-    for pos in range(8):
-        d = F.instr(F.lit(_HEX), F.substring(h, pos + 1, 1)) - 1
-        val = val * 16 + d
-    return val
-
-
-def _sql_h32(expr: str, salt: str) -> str:
-    h = f"md5('{salt}' || {expr})"
-    terms = [
-        f"(strpos('{_HEX}', substring({h}, {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
-        for p in range(8)
-    ]
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+# _h32 / _sql_h32 moved to their canonical shared homes at round 7
+# (functions.wordhash.h32 / _oracle_shared.sql_h32) so new operator
+# modules can use them without importing this registering module;
+# aliased here for the existing call sites and oracle f-strings.
+from project_fauna_spark.functions.wordhash import h32 as _h32  # noqa: E402
+from project_fauna_spark.operators._oracle_shared import (  # noqa: E402
+    sql_h32 as _sql_h32,
+)
 
 
 def _minhash_md5_oracle() -> str:

@@ -24,7 +24,7 @@ _H32_RANGE = 1 << 32
 
 
 def _kmv_oracle() -> str:
-    from project_fauna_spark.operators.extras3 import _sql_h32
+    from project_fauna_spark.operators._oracle_shared import sql_h32 as _sql_h32
 
     hv = _sql_h32("CAST(l_partkey AS VARCHAR)", "kmv:")
     return f"""
@@ -69,7 +69,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how many keys stream through, and two sketches merge by
     taking the bottom-k of their union.
     """
-    from project_fauna_spark.operators.extras3 import _h32
+    from project_fauna_spark.functions.wordhash import h32 as _h32
 
     u = cached(
         load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
@@ -110,7 +110,7 @@ _SYS_BUCKETS_SHIFT = 24  # bucket = h >> 24: 256 range-ordered buckets
 
 
 def _systematic_oracle() -> str:
-    from project_fauna_spark.operators.extras3 import _sql_h32
+    from project_fauna_spark.operators._oracle_shared import sql_h32 as _sql_h32
 
     hv = _sql_h32("CAST(o_orderkey AS VARCHAR)", "sys:")
     return f"""
@@ -142,7 +142,7 @@ def sample_systematic_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is the 256-way bucket shuffle; the offsets table is 256
     rows.
     """
-    from project_fauna_spark.operators.extras3 import _h32
+    from project_fauna_spark.functions.wordhash import h32 as _h32
 
     h = cached(
         load_table(spark, sf_dir, "orders")

@@ -19,7 +19,7 @@ from project_fauna_spark.plans.registry import register
 
 
 def _fim_oracle() -> str:
-    from project_fauna_spark.operators.extras3 import _sql_h32
+    from project_fauna_spark.operators._oracle_shared import sql_h32 as _sql_h32
 
     ha = _sql_h32("CAST(doc_id AS VARCHAR)", "fim_a:")
     hb = _sql_h32("CAST(doc_id AS VARCHAR)", "fim_b:")
@@ -65,7 +65,7 @@ def llm_fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify the slice byte-for-byte.  All expression-level; no
     shuffle at all.
     """
-    from project_fauna_spark.operators.extras3 import _h32
+    from project_fauna_spark.functions.wordhash import h32 as _h32
 
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")

@@ -21,8 +21,8 @@ _BP_TOP = 20
 
 
 def _boilerplate_oracle() -> str:
+    from project_fauna_spark.functions.shingles import GRAM_K as _GRAM_K
     from project_fauna_spark.operators._oracle_shared import sql_token_grams_cte
-    from project_fauna_spark.operators.curation import _GRAM_K
 
     return f"""
     WITH g AS ({sql_token_grams_cte(_GRAM_K)}),
@@ -58,7 +58,7 @@ def dedup_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate fragment is one aggregate row, never a pair
     explosion.
     """
-    from project_fauna_spark.operators.curation import _token_grams
+    from project_fauna_spark.functions.shingles import token_grams as _token_grams
 
     g = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_token_grams(F.col("text"))).alias("gram")

@@ -19,7 +19,7 @@ from project_fauna_spark.plans.registry import register
 
 
 def _group_split_oracle() -> str:
-    from project_fauna_spark.operators.extras3 import _sql_h32
+    from project_fauna_spark.operators._oracle_shared import sql_h32 as _sql_h32
 
     h = _sql_h32("CAST(user_id AS VARCHAR)", "grp:")
     return f"""
@@ -58,7 +58,7 @@ def ml_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-combined aggregate; no shuffle carries more than
     (split, counts).
     """
-    from project_fauna_spark.operators.extras3 import _h32
+    from project_fauna_spark.functions.wordhash import h32 as _h32
 
     h = _h32(F.col("user_id").cast("string"), "grp:") % 10
     e = load_table(spark, sf_dir, "events").select(

@@ -19,7 +19,7 @@ from project_fauna_spark.plans.registry import register, sql_dsum
 
 
 def _sample_accuracy_oracle() -> str:
-    from project_fauna_spark.operators.extras3 import _sql_h32
+    from project_fauna_spark.operators._oracle_shared import sql_h32 as _sql_h32
 
     h = _sql_h32("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)", "acc:")
     return f"""
@@ -67,7 +67,7 @@ def sample_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-combined aggregate computes exact AND sampled accumulators
     together — the audit costs the same scan the estimate does.
     """
-    from project_fauna_spark.operators.extras3 import _h32
+    from project_fauna_spark.functions.wordhash import h32 as _h32
 
     key = F.concat(
         F.col("l_orderkey").cast("string"),

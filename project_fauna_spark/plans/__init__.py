@@ -26,15 +26,14 @@ relational.py); window_regrade.py is deleted — the never-green class
 is extinct and every registry entry now lives in its thematic module.
 
 Round-8 queue (staged, oldest-added first): extras8 tail
-(ts_date_spine_gapfill, position 51) + extras9..extras52 (97 queries
-registered in r6, in module order) + streaming_batch's
-stream_dedup_suppress_repeats (its other 4 queries are r3-green; the
-module sits directly after the r6 block so the never-graded entry
-lands at position 149).  97 never-graded remain after r7's 50 seats;
-r8 seats the next 50 (through ~extras26), r9 the rest — after r9 zero
-never-graded remain if no new queries are added (r7 policy: additions
-only in NEW post-window modules, throttled to grading throughput per
-ADVICE r6).
+(ts_date_spine_gapfill, position 51) + extras9..extras29 (48 queries)
++ extras30's first registration (ts_max_drawdown) = exactly 50 — the
+cut straddles extras30 just as r7's straddles extras8 (counts verified
+by grep, 2026-08-15).  After r8, 48 never-graded remain: extras30 tail
++ extras31..extras52 (45), streaming_batch's
+stream_dedup_suppress_repeats, and extras53's two r7 additions — all
+seat in r9 with 2 spares, after which zero never-graded remain if
+additions stay ≤ spare capacity (ADVICE r6 throttle).
 
 Sweep coverage: the full registry passed the typed foreign-session
 sweep at sf0.01 during r6 (373/373); positions 1-300 also passed at
@@ -102,6 +101,8 @@ import project_fauna_spark.operators.extras50  # noqa: F401,E402
 import project_fauna_spark.operators.extras51  # noqa: F401,E402
 import project_fauna_spark.operators.extras52  # noqa: F401,E402
 import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
+# round-7 additions (NEW modules only, post-window; graded r9)
+import project_fauna_spark.operators.extras53  # noqa: F401,E402
 # --- driver-green in rounds 2-6: back of the rotation ---
 import project_fauna_spark.operators.semistructured  # noqa: F401,E402
 import project_fauna_spark.operators.modern_sql  # noqa: F401,E402

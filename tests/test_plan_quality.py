@@ -367,11 +367,14 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
     TPC-H base column at all.  nation/region columns are not markers —
     those tables are fixed-size by construction.
     """
+    from project_fauna_spark.cache import release_cached
+
     markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
     bounded = ("Aggregate", "Deduplicate", "GlobalLimit")
     offenders = []
     for name in sorted(QUERIES):
         df = QUERIES[name](spark, SF)
+        release_cached()  # plan-only walk; don't pin caches session-wide
         stack = [df._jdf.queryExecution().analyzed()]
         while stack:
             node = stack.pop()

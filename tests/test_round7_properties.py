@@ -193,7 +193,10 @@ def test_bound_booleans_true_on_real_data_r7(spark):
         ("text_hashed_tf", ["mass_preserved", "buckets_bounded"]),
         ("agg_approx_count_distinct", ["approx_within_5pct"]),
     ]:
+        from project_fauna_spark.cache import release_cached
+
         rows = QUERIES[name](spark, SF).collect()
+        release_cached()
         assert rows, name
         for r in rows:
             for c in bool_cols:

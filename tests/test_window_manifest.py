@@ -53,14 +53,24 @@ def test_no_module_level_cross_operator_imports():
     ops = REPO / "project_fauna_spark" / "operators"
     nonregistering = {"_oracle_shared"}
     offenders = []
+
+    def module_level_imports(node):
+        """Imports that EXECUTE at import time: everything except
+        function/lambda bodies (try/except, if-blocks, with-blocks at
+        module level all run on import and must be caught too)."""
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+            return
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            yield node
+        for child in ast.iter_child_nodes(node):
+            yield from module_level_imports(child)
+
     for f in sorted(ops.glob("*.py")):
         mod = f.stem
-        tree = ast.parse(f.read_text())
-        for node in tree.body:  # module level only
-            targets = []
-            if isinstance(node, ast.ImportFrom) and node.module:
-                targets = [node.module]
-            elif isinstance(node, ast.Import):
+        for node in module_level_imports(ast.parse(f.read_text())):
+            if isinstance(node, ast.ImportFrom):
+                targets = [node.module] if node.module else []
+            else:
                 targets = [a.name for a in node.names]
             for t in targets:
                 if t.startswith("project_fauna_spark.operators."):
