@@ -35,12 +35,18 @@ stream_dedup_suppress_repeats, and extras53's two r7 additions — all
 seat in r9 with 2 spares, after which zero never-graded remain if
 additions stay ≤ spare capacity (ADVICE r6 throttle).
 
-Sweep coverage: the full registry passed the typed foreign-session
-sweep at sf0.01 during r6 (373/373); positions 1-300 also passed at
-sf0.1, and every later addition was verified individually in foreign
-sessions at both sf0.01 and sf0.1.  The exact r7 window was re-swept
-in a foreign plain session at sf0.01 + sf0.1 after the r7 testdata
-regeneration (schema diff first — TESTDATA.md gotcha).
+Sweep coverage (all on the r7-regenerated testdata): the full registry
+passes local oracle parity at sf0.01 (test_oracle_parity, 391/391 in
+the round-7 suite runs); the exact r7 window passed foreign
+plain-session sweeps at BOTH sf0.01 and sf0.1 (50/50 each) AND a
+repeat-invocation stability sweep (each window query run twice in one
+session, results identical — the driver's 50-queries-one-session
+shape); the staged r8 block (positions 51-100) also passed a foreign
+sf0.1 sweep 50/50, so the next rotation is pre-verified at 10× the
+graded scale; extras53's two additions passed foreign sweeps at
+sf0.001/0.01/0.1.  Heads-up for sf0.1 sweeps: ngram-truth-composed
+oracles (ml_minhash_lsh, dedup_threshold_sweep, llm_dedup_*) take
+~9 min EACH on the DuckDB side with this corpus generation.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
