@@ -37,7 +37,9 @@ additions stay ≤ spare capacity (ADVICE r6 throttle).
 
 Sweep coverage (all on the r7-regenerated testdata): the full registry
 passes local oracle parity at sf0.01 (test_oracle_parity, 391/391 in
-the round-7 suite runs); the exact r7 window passed foreign
+the round-7 suite runs) AND the full 391 passed a FOREIGN plain-session
+sweep at sf0.01 (window 50 + staged-r8 50 + back-block 291, zero
+mismatches, 2026-08-15); the exact r7 window passed foreign
 plain-session sweeps at BOTH sf0.01 and sf0.1 (50/50 each) AND a
 repeat-invocation stability sweep (each window query run twice in one
 session, results identical — the driver's 50-queries-one-session
