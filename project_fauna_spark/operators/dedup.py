@@ -686,3 +686,68 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cont.alias("containment"))
         .filter(F.col("containment") >= 0.7)
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_paragraph_hash — C4-style paragraph-granular dedup
+# (moved home from extras8 after its round-7 driver grade, the
+# moved-home rotation convention — see plans/__init__ docstring)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_paragraph_hash",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id, md5(unnest(string_split(text, '. '))) AS ph
+      FROM documents
+    ),
+    df AS (
+      SELECT ph, COUNT(DISTINCT doc_id) AS n_docs FROM paras GROUP BY ph
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_paras,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs > 1) AS BIGINT) AS n_dup_paras,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs > 1) AS DOUBLE) / COUNT(*)
+             AS dup_frac,
+           COUNT(*) FILTER (WHERE df.n_docs > 1) * 2 > COUNT(*) AS drop_doc
+    FROM paras p JOIN df ON df.ph = p.ph
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_paragraph_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular dedup (the C4/RefinedWeb recipe): split each
+    document into paragraphs, md5 each, and flag documents where more
+    than half the paragraphs also appear in OTHER documents —
+    boilerplate and syndicated content that document-level exact dedup
+    misses entirely.
+
+    md5 is the SQL-portable digest twin (``dedup_simhash_md5``
+    convention), so the graded edge carries real counts, not booleans.
+    Scale: the explode ships (doc_id, 16-byte digest) only; the
+    cross-doc frequency is one map-combined digest aggregate; the
+    verdict is an integer cross-multiplication (no float threshold).
+    At 100 TB this is the same inverted-index discipline as the
+    shingle dedup — a hot boilerplate paragraph costs one aggregate
+    row, never a pair explosion, because the query joins paragraphs
+    back to their docs (linear), not docs to docs (quadratic).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    paras = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\. ")).alias("para")
+    ).select("doc_id", F.md5(F.col("para")).alias("ph"))
+    paras = cached(paras)
+    df_p = paras.groupBy("ph").agg(F.countDistinct("doc_id").alias("n_docs"))
+    joined = paras.join(df_p, "ph")
+    dup = (F.col("n_docs") > 1).cast("long")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(dup).cast("long").alias("n_dup_paras"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        (F.col("n_dup_paras").cast("double") / F.col("n_paras")).alias("dup_frac"),
+        (F.col("n_dup_paras") * 2 > F.col("n_paras")).alias("drop_doc"),
+    )

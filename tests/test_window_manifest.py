@@ -1,7 +1,7 @@
 """Rotation guard: the driver grades the first 50 registry entries.
 
-The round-7 window composition is pinned against the checked-in
-``WINDOW_r7.txt`` manifest so an accidental import-order edit in
+The round-8 window composition is pinned against the checked-in
+``WINDOW_r8.txt`` manifest so an accidental import-order edit in
 ``plans/__init__.py`` (or a registration added to a pre-window module
 mid-round) fails the suite instead of silently re-grading old queries
 or perturbing the window the driver sees.
@@ -16,14 +16,14 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_first_50_match_manifest():
-    manifest = (REPO / "WINDOW_r7.txt").read_text().split()
+    manifest = (REPO / "WINDOW_r8.txt").read_text().split()
     assert len(manifest) == 50, "manifest must hold exactly 50 names"
 
     from project_fauna_spark.plans import QUERIES
 
     window = list(QUERIES)[:50]
     assert window == manifest, (
-        "grading window drifted from WINDOW_r7.txt — if this is a "
+        "grading window drifted from WINDOW_r8.txt — if this is a "
         "deliberate round-start rotation, regenerate the manifest in the "
         "same commit; otherwise revert the plans/__init__.py or operator-"
         "module change that perturbed registration order.\n"
@@ -69,6 +69,23 @@ def test_no_module_level_cross_operator_imports():
         mod = f.stem
         for node in module_level_imports(ast.parse(f.read_text())):
             if isinstance(node, ast.ImportFrom):
+                if node.level > 0:
+                    # Relative import: `from .extras3 import x` names the
+                    # sibling in module; `from . import extras3` (and
+                    # `from ..operators import extras3`) in names.  Any
+                    # shape executes the sibling's @register calls at the
+                    # importer's registry position (ADVICE r7).
+                    candidates = [a.name for a in node.names]
+                    if node.module:
+                        candidates.append(node.module.split(".")[0])
+                    for leaf in candidates:
+                        if (
+                            leaf not in nonregistering
+                            and leaf != mod
+                            and (ops / f"{leaf}.py").exists()
+                        ):
+                            offenders.append(f"{mod} -> {leaf} (relative)")
+                    continue
                 targets = [node.module] if node.module else []
             else:
                 targets = [a.name for a in node.names]
