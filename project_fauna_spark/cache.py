@@ -31,10 +31,21 @@ def cached(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     ``cached()`` a shared subframe no longer emit ``CacheManager: Asked
     to cache already cached data`` warnings or double-track the entry
     (VERDICT r6 hygiene item).  The first caller's tracking entry owns
-    the release.
+    the release — and the first caller's LEVEL wins: a later call
+    asking for a different ``level`` on an equivalent plan is a no-op
+    (Spark itself cannot re-level an already-cached plan without an
+    unpersist), so a mismatch is logged at debug rather than silently
+    swallowed (ADVICE r7).
     """
     sl = df.storageLevel
     if sl.useMemory or sl.useDisk:
+        if level is not None and level != sl:
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "cached(): plan already cached at %s; requested %s ignored "
+                "(first-caller-wins level semantics)", sl, level,
+            )
         return df
     df.persist() if level is None else df.persist(level)
     _TRACKED.append(df)

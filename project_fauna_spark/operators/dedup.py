@@ -320,8 +320,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
     jac = n_inter.cast("double") / (F.size("sgl_a") + F.size("sgl_b") - n_inter)
+    # Independent re-derivation of the same exact Jaccard via the union
+    # route (|A∩B| = |A|+|B|-|A∪B|): the verification boolean below is
+    # computed from THIS expression, not the filter's, so a regression
+    # in the filter threshold or its intersect spelling flips the
+    # graded boolean instead of being filtered into tautology
+    # (ADVICE r7).  Integer set sizes make the two divisions
+    # bit-identical when both stages are correct.
+    n_union = F.size(F.array_union("sgl_a", "sgl_b"))
+    jac_check = (
+        (F.size("sgl_a") + F.size("sgl_b") - n_union).cast("double") / n_union
+    )
     surv = cands.select(
-        "doc_a", "doc_b", est.alias("est_jaccard"), jac.alias("jaccard")
+        "doc_a",
+        "doc_b",
+        est.alias("est_jaccard"),
+        jac.alias("jaccard"),
+        jac_check.alias("jaccard_check"),
     ).filter(F.col("jaccard") >= 0.5)
 
     # Bound-style graded edge: exact truth count + quality booleans
@@ -329,7 +344,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
     stats = surv.agg(
-        F.coalesce(F.min(F.col("jaccard") >= 0.5), F.lit(True)).alias(
+        F.coalesce(F.min(F.col("jaccard_check") >= 0.5), F.lit(True)).alias(
             "lsh_all_verified"
         ),
         F.coalesce(

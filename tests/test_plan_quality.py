@@ -362,16 +362,35 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
 
     Heuristic: walk every registered query's ANALYZED plan; for each
     broadcast ResolvedHint, the hinted subtree is bounded iff it
-    contains an Aggregate / Deduplicate / GlobalLimit node (its output
-    keyspace, not the scan, is what ships) or references no SF-scaling
-    TPC-H base column at all.  nation/region columns are not markers —
-    those tables are fixed-size by construction.
+    contains an Aggregate / GlobalLimit node (its output keyspace, not
+    the scan, is what ships), a Deduplicate whose dedup KEYS reference
+    no SF-scaling key column (distinct order-status / calendar months /
+    mod-m Bloom positions are domain-bounded; a ``distinct o_custkey``
+    still scales with SF and does NOT bound — ADVICE r7), or references
+    no SF-scaling TPC-H base column at all.  nation/region columns are
+    not markers — those tables are fixed-size by construction.
     """
     from project_fauna_spark.cache import release_cached
 
     markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
-    bounded = ("Aggregate", "Deduplicate", "GlobalLimit")
     offenders = []
+
+    def subtree_bounded(root) -> bool:
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            kind = n.getClass().getSimpleName()
+            if kind in ("Aggregate", "GlobalLimit"):
+                return True
+            if kind == "Deduplicate":
+                keys = n.keys().toString()
+                if not any(m in keys for m in markers):
+                    return True
+            cs = n.children()
+            for i in range(cs.size()):
+                stack.append(cs.apply(i))
+        return False
+
     for name in sorted(QUERIES):
         df = QUERIES[name](spark, SF)
         release_cached()  # plan-only walk; don't pin caches session-wide
@@ -382,8 +401,8 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
                 "broadcast" in node.hints().toString().lower()
             ):
                 sub = node.child().toString()
-                if any(m in sub for m in markers) and not any(
-                    b in sub for b in bounded
+                if any(m in sub for m in markers) and not subtree_bounded(
+                    node.child()
                 ):
                     offenders.append(name)
             cs = node.children()

@@ -201,3 +201,33 @@ def test_bound_booleans_true_on_real_data_r7(spark):
         for r in rows:
             for c in bool_cols:
                 assert r[c] is True, (name, c)
+
+
+def test_lsh_verify_boolean_flips_on_filter_regression(spark):
+    """Perturbation (ADVICE r7): lsh_all_verified must be derived from
+    an expression INDEPENDENT of the survivor filter's, so a filter
+    regression (e.g. threshold accidentally lowered) flips the graded
+    boolean instead of being filtered into tautology.  Replays the
+    dedup_minhash_lsh shape: filter on the intersect-route jaccard at
+    a BROKEN 0.3 threshold, verify with the union-route re-derivation
+    at the contract's 0.5."""
+    df = spark.createDataFrame(
+        [(1, 10, 10, 8), (2, 10, 10, 5)],  # jac 8/12≈0.67, 5/15≈0.33
+        "pair long, na int, nb int, ninter int",
+    )
+    jac = F.col("ninter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ninter")
+    )
+    n_union = F.col("na") + F.col("nb") - F.col("ninter")
+    jac_check = (F.col("na") + F.col("nb") - n_union).cast("double") / n_union
+    surv = df.select("pair", jac.alias("jaccard"), jac_check.alias("jaccard_check"))
+    broken = surv.filter(F.col("jaccard") >= 0.3)  # regression: 0.5 -> 0.3
+    out = broken.agg(
+        F.coalesce(F.min(F.col("jaccard_check") >= 0.5), F.lit(True)).alias("ok")
+    ).collect()[0]["ok"]
+    assert out is False, "independent verify failed to catch the broken filter"
+    correct = surv.filter(F.col("jaccard") >= 0.5)
+    out2 = correct.agg(
+        F.coalesce(F.min(F.col("jaccard_check") >= 0.5), F.lit(True)).alias("ok")
+    ).collect()[0]["ok"]
+    assert out2 is True
