@@ -197,3 +197,11 @@ def sql_h32(expr: str, salt: str) -> str:
         for p in range(8)
     ]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# Timestamp render formats shared by the streaming-analog queries
+# (Spark date_format pattern + its DuckDB strftime twin).  Canonical
+# home as of round 8 so relocated queries need no module-level import
+# of a registering module; streaming_batch re-imports these names.
+TS_OUT = "yyyy-MM-dd HH:mm:ss"
+SQL_TS_OUT = "%Y-%m-%d %H:%M:%S"

@@ -208,49 +208,3 @@ def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(orders.groupBy("user_id"))
         .applyInPandas(merge, schema=COGROUP_SCHEMA)
     )
-
-
-@register(
-    "scalar_higher_order_fns",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 200)
-    SELECT doc_id,
-           coalesce(array_to_string(list_transform(words[1:5], x -> upper(x)), '|'),
-                    '') AS first5_upper,
-           coalesce(array_to_string(list_filter(words[1:20], x -> length(x) > 4), '|'),
-                    '') AS long_words_20,
-           len(list_filter(words, x -> x = 'data')) AS n_data,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(words, x -> CAST(length(x) AS BIGINT))),
-                       (a, b) -> a + b) AS total_chars,
-           list_has_any(words, ['spark', 'query']) AS mentions_engine,
-           list_has_all(words[1:50], ['the']) AS has_the_early
-    FROM w
-    """,
-)
-def scalar_higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Higher-order function battery: transform, filter, aggregate
-    (fold), exists/forall-style predicates — all JVM-side lambdas."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    words = F.split(F.col("text"), " ")
-    return d.select(
-        "doc_id",
-        F.array_join(
-            F.transform(F.slice(words, 1, 5), lambda x: F.upper(x)), "|"
-        ).alias("first5_upper"),
-        F.array_join(
-            F.filter(F.slice(words, 1, 20), lambda x: F.length(x) > 4), "|"
-        ).alias("long_words_20"),
-        F.size(F.filter(words, lambda x: x == F.lit("data"))).cast("long").alias("n_data"),
-        F.aggregate(
-            F.transform(words, lambda x: F.length(x).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, b: a + b,
-        ).alias("total_chars"),
-        F.exists(words, lambda x: (x == F.lit("spark")) | (x == F.lit("query"))).alias(
-            "mentions_engine"
-        ),
-        F.forall(
-            F.array(F.lit("the")), lambda t: F.array_contains(F.slice(words, 1, 50), t)
-        ).alias("has_the_early"),
-    )

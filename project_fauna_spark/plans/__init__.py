@@ -19,10 +19,18 @@ registrations to any module at or before extras30's first entry
 mid-round; new operators go in a NEW module imported after extras53.
 
 Round-9 queue (staged, oldest-added first): extras30 tail
-(q_discount_demand_curve) + extras31..extras52 (44) +
-streaming_batch's stream_dedup_suppress_repeats + extras53 (2) = 48,
-leaving 2 spare seats — zero never-graded entries remain after r9 if
-additions stay ≤ spare capacity (ADVICE r6 throttle).
+(q_discount_demand_curve) + extras31..extras52 (44) + extras53 (2) +
+extras54 (2 — stream_dedup_suppress_repeats and
+scalar_higher_order_fns, the only never-graded entries that were
+interleaved among graded siblings, relocated mid-r8 so the backlog is
+contiguous) = 49, leaving 1 spare seat — zero never-graded entries
+remain after r9 if additions stay ≤ spare capacity (ADVICE r6
+throttle).  The r9 rotation itself is then a pure import reorder:
+move extras8..extras29 AND streaming_batch (now all-graded) behind
+the back block.  NOTE: extras30 has 2 entries with only the FIRST
+graded in r8 — at the r9 rotation move ts_max_drawdown home
+(timeseries.py) so q_discount_demand_curve can head the window,
+exactly as extras8 was split this round.
 
 Sweep coverage (all on the r7-regenerated testdata, which is
 byte-identical to the r8 corpus — digests recorded in TESTDATA
@@ -88,6 +96,7 @@ import project_fauna_spark.operators.extras51  # noqa: F401,E402
 import project_fauna_spark.operators.extras52  # noqa: F401,E402
 import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
 import project_fauna_spark.operators.extras53  # noqa: F401,E402
+import project_fauna_spark.operators.extras54  # noqa: F401,E402  (relocated never-graded strays)
 # --- driver-green in rounds 2-7: back of the rotation ---
 import project_fauna_spark.operators.semistructured  # noqa: F401,E402
 import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
