@@ -23,9 +23,9 @@ Round-9 queue (staged, oldest-added first): extras30 tail
 extras54 (2 — stream_dedup_suppress_repeats and
 scalar_higher_order_fns, the only never-graded entries that were
 interleaved among graded siblings, relocated mid-r8 so the backlog is
-contiguous) = 49, leaving 1 spare seat — zero never-graded entries
-remain after r9 if additions stay ≤ spare capacity (ADVICE r6
-throttle).  The r9 rotation itself is then a pure import reorder:
+contiguous) = 49, + extras55's dedup_component_representative (the
+one r8 addition) = exactly 50 — zero never-graded entries remain
+after r9 (ADVICE r6 throttle honored: 1 added vs 50 graded).  The r9 rotation itself is then a pure import reorder:
 move extras8..extras29 AND streaming_batch (now all-graded) behind
 the back block.  NOTE: extras30 has 2 entries with only the FIRST
 graded in r8 — at the r9 rotation move ts_max_drawdown home
@@ -97,6 +97,8 @@ import project_fauna_spark.operators.extras52  # noqa: F401,E402
 import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
 import project_fauna_spark.operators.extras53  # noqa: F401,E402
 import project_fauna_spark.operators.extras54  # noqa: F401,E402  (relocated never-graded strays)
+# round-8 addition (NEW module only, post-window; graded r9)
+import project_fauna_spark.operators.extras55  # noqa: F401,E402
 # --- driver-green in rounds 2-7: back of the rotation ---
 import project_fauna_spark.operators.semistructured  # noqa: F401,E402
 import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
