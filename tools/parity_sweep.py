@@ -63,15 +63,22 @@ _truth_built = False
 
 
 def _memoize_truth(sql: str, name: str) -> str:
-    """Rewrite a splice of the ngram-truth SQL to read the memo table."""
+    """Rewrite a splice of the ngram-truth SQL to read the memo table.
+
+    ``dedup_ngram_jaccard`` itself is served from the memo BUILD: the
+    temp table is ``CREATE TEMP TABLE AS (<its verbatim oracle>)``, so
+    selecting from it IS the raw oracle's output — one ~9-minute DuckDB
+    pass verifies the source query and seeds every splice site."""
     global _truth_built
-    if name == "dedup_ngram_jaccard" or _TRUTH_SQL not in sql:
+    if name != "dedup_ngram_jaccard" and _TRUTH_SQL not in sql:
         return sql
     if not _truth_built:
         t0 = time.time()
         con.execute(f"CREATE TEMP TABLE {_TRUTH_TABLE} AS ({_TRUTH_SQL})")
         print(f"[truth memo built {time.time()-t0:.1f}s]", flush=True)
         _truth_built = True
+    if name == "dedup_ngram_jaccard":
+        return f"SELECT * FROM {_TRUTH_TABLE}"
     return sql.replace(_TRUTH_SQL, f" SELECT * FROM {_TRUTH_TABLE} ")
 
 
