@@ -54,32 +54,40 @@ for t in [
 ]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
-# ---- truth-pair memoization -------------------------------------------------
+# ---- expensive-fragment memoization ------------------------------------------
+# Two registered oracles are verbatim-spliced by other oracles AND cost
+# ~9 minutes each in DuckDB at sf0.1: the exact-Jaccard truth pairs and
+# the connected-components fixpoint (whose recursive CTE embeds the
+# same pair computation).  Each source query is served from its memo
+# BUILD: the temp table is ``CREATE TEMP TABLE AS (<verbatim oracle>)``,
+# so selecting from it IS the raw oracle's output — one expensive pass
+# verifies the source query and seeds every splice site.
 from project_fauna_spark.plans import ORACLE as _REG_ORACLE
 
-_TRUTH_SQL = _REG_ORACLE["dedup_ngram_jaccard"]
-_TRUTH_TABLE = "ngram_truth_pairs_memo"
-_truth_built = False
+_MEMOS = {
+    "dedup_ngram_jaccard": (
+        _REG_ORACLE["dedup_ngram_jaccard"], "ngram_truth_pairs_memo", [False],
+    ),
+    "dedup_connected_components": (
+        _REG_ORACLE["dedup_connected_components"], "cc_components_memo", [False],
+    ),
+}
 
 
 def _memoize_truth(sql: str, name: str) -> str:
-    """Rewrite a splice of the ngram-truth SQL to read the memo table.
-
-    ``dedup_ngram_jaccard`` itself is served from the memo BUILD: the
-    temp table is ``CREATE TEMP TABLE AS (<its verbatim oracle>)``, so
-    selecting from it IS the raw oracle's output — one ~9-minute DuckDB
-    pass verifies the source query and seeds every splice site."""
-    global _truth_built
-    if name != "dedup_ngram_jaccard" and _TRUTH_SQL not in sql:
-        return sql
-    if not _truth_built:
-        t0 = time.time()
-        con.execute(f"CREATE TEMP TABLE {_TRUTH_TABLE} AS ({_TRUTH_SQL})")
-        print(f"[truth memo built {time.time()-t0:.1f}s]", flush=True)
-        _truth_built = True
-    if name == "dedup_ngram_jaccard":
-        return f"SELECT * FROM {_TRUTH_TABLE}"
-    return sql.replace(_TRUTH_SQL, f" SELECT * FROM {_TRUTH_TABLE} ")
+    """Rewrite splices of memoized oracle fragments to read temp tables."""
+    for src_name, (frag, table, built) in _MEMOS.items():
+        if name != src_name and frag not in sql:
+            continue
+        if not built[0]:
+            t0 = time.time()
+            con.execute(f"CREATE TEMP TABLE {table} AS ({frag})")
+            print(f"[{table} built {time.time()-t0:.1f}s]", flush=True)
+            built[0] = True
+        if name == src_name:
+            return f"SELECT * FROM {table}"
+        sql = sql.replace(frag, f" SELECT * FROM {table} ")
+    return sql
 
 
 # ---- typed row normalization ------------------------------------------------
