@@ -33,15 +33,19 @@ graded in r8 — at the r9 rotation move ts_max_drawdown home
 exactly as extras8 was split this round.
 
 Sweep coverage (all on the r7-regenerated testdata, which is
-byte-identical to the r8 corpus — digests recorded in TESTDATA
-notes): the full registry passes local oracle parity at sf0.01
-(test_oracle_parity) AND passed a FOREIGN plain-session sweep at
-sf0.01 (zero mismatches, 2026-08-15); the exact r8 window block passed
-a foreign sf0.1 sweep 50/50 (2026-08-15, staged as registry positions
-51-100 pre-rotation) and is re-swept post-rotation at round start.
-Heads-up for sf0.1 sweeps: ngram-truth-composed oracles
-(ml_minhash_lsh, dedup_threshold_sweep, llm_dedup_*) take ~9 min EACH
-on the DuckDB side with this corpus generation.
+byte-identical to the r8 corpus — md5s recorded in CLAUDE.md): the
+full registry passes local oracle parity at sf0.01
+(test_oracle_parity, 392/392 in the round-8 suite run: 1130 passed /
+1 skipped) AND passed a FOREIGN plain-session sweep at sf0.01 (zero
+mismatches, 2026-08-15); the exact r8 window passed a foreign sf0.1
+sweep 50/50 pre-rotation AND a foreign sf0.01 sweep 50/50
+post-rotation (both 2026-08-15); the staged r9 draft block (all 50
+names incl. the relocated extras54 pair and extras55) passed a
+foreign sf0.1 sweep 50/50 post-staging (2026-08-15) — the next
+rotation is pre-verified at 10× the graded scale.  sf0.1 sweeps now
+run through tools/parity_sweep.py, which memoizes the two ~9-minute
+DuckDB fragments (ngram truth pairs, CC fixpoint) into build-once
+temp tables.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
