@@ -93,6 +93,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "event_survival_km",
     "dq_ks_two_sample",
+    # round 8 addition (baseline recorded in BASELINE.md same day)
+    "dedup_component_representative",
 ]
 
 
