@@ -42,10 +42,14 @@ sweep 50/50 pre-rotation AND a foreign sf0.01 sweep 50/50
 post-rotation (both 2026-08-15); the staged r9 draft block (all 50
 names incl. the relocated extras54 pair and extras55) passed a
 foreign sf0.1 sweep 50/50 post-staging (2026-08-15) — the next
-rotation is pre-verified at 10× the graded scale.  sf0.1 sweeps now
-run through tools/parity_sweep.py, which memoizes the two ~9-minute
-DuckDB fragments (ngram truth pairs, CC fixpoint) into build-once
-temp tables.
+rotation is pre-verified at 10× the graded scale.  End-of-round
+validation in the FINAL import order (2026-08-15): full registry
+392/392 foreign sf0.01, r8 window 50/50 foreign sf0.1, and a
+repeat-invocation stability sweep (every window query run twice in
+one session, identical rows — the driver's 50-in-one-session shape).
+sf0.1 sweeps run through tools/parity_sweep.py, which memoizes the
+two ~9-minute DuckDB fragments (ngram truth pairs, CC fixpoint) into
+build-once temp tables.
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
