@@ -461,3 +461,52 @@ def test_no_global_window_over_sf_scaling_data(spark):
             for i in range(cs.size()):
                 stack.append(cs.apply(i))
     assert sorted(set(offenders)) == [], sorted(set(offenders))
+
+
+def test_no_cartesian_of_two_sf_scaling_frames(spark):
+    """Repo invariant (round-8): a cross join (logical Cross, or Inner
+    with no condition) is the all-pairs scale-killer when BOTH inputs
+    scale with SF.  Legitimate crosses in this engine always have at
+    least one bounded side (a 1-row scalar aggregate, a sweep/spine
+    frame, a codebook) that the physical planner broadcasts.  This
+    generalizes the per-query CartesianProduct pins to the whole
+    registry, with the same bounded-subtree rule as the broadcast and
+    global-window lints."""
+    from project_fauna_spark.cache import release_cached
+
+    markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
+
+    def bounded(root):
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            kind = n.getClass().getSimpleName()
+            if kind in ("Aggregate", "GlobalLimit"):
+                return True
+            if kind == "Deduplicate":
+                if not any(m in n.keys().toString() for m in markers):
+                    return True
+            cs = n.children()
+            for i in range(cs.size()):
+                stack.append(cs.apply(i))
+        return False
+
+    def scaling(side):
+        return any(m in side.toString() for m in markers) and not bounded(side)
+
+    offenders = []
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF)
+        release_cached()
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "Join":
+                jt = node.joinType().toString()
+                if jt == "Cross" or (jt == "Inner" and node.condition().isEmpty()):
+                    if scaling(node.left()) and scaling(node.right()):
+                        offenders.append(name)
+            cs = node.children()
+            for i in range(cs.size()):
+                stack.append(cs.apply(i))
+    assert sorted(set(offenders)) == [], sorted(set(offenders))
