@@ -28,6 +28,28 @@ def plan_of(spark, name: str) -> str:
     return buf.getvalue()
 
 
+# The four registry-wide lints each need every query's plan; building
+# 392 DataFrames costs ~2.5 min per walk, so they share ONE cache of
+# (analyzed, optimized, formatted) triples built on first use.
+_REGISTRY_PLANS: dict[str, tuple] = {}
+
+
+def _registry_plans(spark) -> dict[str, tuple]:
+    if _REGISTRY_PLANS:
+        return _REGISTRY_PLANS
+    from project_fauna_spark.cache import release_cached
+
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF)
+        release_cached()  # plan-only walk; don't pin caches session-wide
+        qe = df._jdf.queryExecution()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        _REGISTRY_PLANS[name] = (qe.analyzed(), qe.optimizedPlan(), buf.getvalue())
+    return _REGISTRY_PLANS
+
+
 def test_filter_pushdown_to_parquet(spark):
     plan = plan_of(spark, "q_revenue_forecast")
     assert "PushedFilters: [" in plan
@@ -82,8 +104,7 @@ def test_no_rowwise_python_udf_anywhere(spark):
     (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
     only sanctioned Python evaluation."""
     offenders = []
-    for name in sorted(QUERIES):
-        plan = plan_of(spark, name)
+    for name, (_, _, plan) in _registry_plans(spark).items():
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert offenders == [], offenders
@@ -370,8 +391,6 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
     no SF-scaling TPC-H base column at all.  nation/region columns are
     not markers — those tables are fixed-size by construction.
     """
-    from project_fauna_spark.cache import release_cached
-
     markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
     offenders = []
 
@@ -391,10 +410,8 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
                 stack.append(cs.apply(i))
         return False
 
-    for name in sorted(QUERIES):
-        df = QUERIES[name](spark, SF)
-        release_cached()  # plan-only walk; don't pin caches session-wide
-        stack = [df._jdf.queryExecution().analyzed()]
+    for name, (analyzed, _, _) in _registry_plans(spark).items():
+        stack = [analyzed]
         while stack:
             node = stack.pop()
             if node.getClass().getSimpleName() == "ResolvedHint" and (
@@ -429,8 +446,6 @@ def test_no_global_window_over_sf_scaling_data(spark):
     registry-wide lint, the same template as
     test_no_forced_broadcast_of_sf_scaling_tables.
     """
-    from project_fauna_spark.cache import release_cached
-
     markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
     bounded = ("Aggregate", "Deduplicate", "GlobalLimit")
     # window_ntile's global ntile runs over the SF-invariant
@@ -440,12 +455,10 @@ def test_no_global_window_over_sf_scaling_data(spark):
     # see its boundedness.
     allowed = {"window_ntile"}
     offenders = []
-    for name in sorted(QUERIES):
+    for name, (analyzed, _, _) in _registry_plans(spark).items():
         if name in allowed:
             continue
-        df = QUERIES[name](spark, SF)
-        release_cached()  # plan-only walk; don't pin caches session-wide
-        stack = [df._jdf.queryExecution().analyzed()]
+        stack = [analyzed]
         while stack:
             node = stack.pop()
             if (
@@ -472,8 +485,6 @@ def test_no_cartesian_of_two_sf_scaling_frames(spark):
     generalizes the per-query CartesianProduct pins to the whole
     registry, with the same bounded-subtree rule as the broadcast and
     global-window lints."""
-    from project_fauna_spark.cache import release_cached
-
     markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
 
     def bounded(root):
@@ -495,10 +506,8 @@ def test_no_cartesian_of_two_sf_scaling_frames(spark):
         return any(m in side.toString() for m in markers) and not bounded(side)
 
     offenders = []
-    for name in sorted(QUERIES):
-        df = QUERIES[name](spark, SF)
-        release_cached()
-        stack = [df._jdf.queryExecution().optimizedPlan()]
+    for name, (_, optimized, _) in _registry_plans(spark).items():
+        stack = [optimized]
         while stack:
             node = stack.pop()
             if node.getClass().getSimpleName() == "Join":
