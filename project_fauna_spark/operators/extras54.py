@@ -64,8 +64,6 @@ def stream_dedup_suppress_repeats(spark: SparkSession, sf_dir: str) -> DataFrame
     invariant: equal-ts rows fold identically in both engines).
     """
     e = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     marked = e.withColumn(

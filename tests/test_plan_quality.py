@@ -371,6 +371,40 @@ def test_phash_and_signal_use_arrow_not_rowwise(spark):
 
 
 
+# ---- shared bounded-subtree heuristic for the registry-wide lints ----------
+# SF_MARKERS: columns whose presence in a subtree string marks it as
+# derived from an SF-scaling table (relation nodes print their full
+# schema, so the primary keys suffice as table-level markers).
+# SF_KEY_MARKERS: the superset used for Deduplicate KEYS — any key or
+# foreign key whose distinct-count scales with SF (a `distinct
+# o_custkey` or `distinct l_partkey` frame is NOT bounded even though
+# the bare-marker containment check would miss it: 'c_custkey' is not
+# a substring of 'o_custkey' — round-8 code-review finding).
+SF_MARKERS = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
+SF_KEY_MARKERS = SF_MARKERS + ("o_custkey", "l_partkey", "l_suppkey")
+
+
+def subtree_bounded(root) -> bool:
+    """A logical subtree is bounded iff it contains an Aggregate /
+    GlobalLimit (its output keyspace, not the scan, is what flows on),
+    or a Deduplicate whose dedup keys reference no SF-scaling key
+    column (distinct order-status / calendar months / mod-m Bloom
+    positions are domain-bounded)."""
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        kind = n.getClass().getSimpleName()
+        if kind in ("Aggregate", "GlobalLimit"):
+            return True
+        if kind == "Deduplicate":
+            if not any(m in n.keys().toString() for m in SF_KEY_MARKERS):
+                return True
+        cs = n.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+    return False
+
+
 def test_no_forced_broadcast_of_sf_scaling_tables(spark):
     """Repo invariant (round-7): a forced F.broadcast() hint may only
     wrap a BOUNDED-cardinality frame (nation/region, codebooks, offset
@@ -391,25 +425,7 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
     no SF-scaling TPC-H base column at all.  nation/region columns are
     not markers — those tables are fixed-size by construction.
     """
-    markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
     offenders = []
-
-    def subtree_bounded(root) -> bool:
-        stack = [root]
-        while stack:
-            n = stack.pop()
-            kind = n.getClass().getSimpleName()
-            if kind in ("Aggregate", "GlobalLimit"):
-                return True
-            if kind == "Deduplicate":
-                keys = n.keys().toString()
-                if not any(m in keys for m in markers):
-                    return True
-            cs = n.children()
-            for i in range(cs.size()):
-                stack.append(cs.apply(i))
-        return False
-
     for name, (analyzed, _, _) in _registry_plans(spark).items():
         stack = [analyzed]
         while stack:
@@ -418,7 +434,7 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
                 "broadcast" in node.hints().toString().lower()
             ):
                 sub = node.child().toString()
-                if any(m in sub for m in markers) and not subtree_bounded(
+                if any(m in sub for m in SF_MARKERS) and not subtree_bounded(
                     node.child()
                 ):
                     offenders.append(name)
@@ -432,11 +448,12 @@ def test_no_global_window_over_sf_scaling_data(spark):
     """Repo invariant (round-8, VERDICT r7 item 3): a Window with an
     EMPTY partitionSpec serializes its entire input through one task —
     the classic scale-killer at 100 TB.  It is legal only when the
-    window's input is provably bounded: its subtree contains an
-    Aggregate / Deduplicate / GlobalLimit (the window runs over a
-    summary frame, e.g. the ≤25-row duration-distinct frame in
-    event_survival_km or a bucket-offsets table), or it references no
-    SF-scaling TPC-H base key at all (events/documents/embeddings
+    window's input is provably bounded per the shared
+    ``subtree_bounded`` rule: an Aggregate / GlobalLimit in the
+    subtree (the window runs over a summary frame, e.g. the ≤25-row
+    duration-distinct frame in event_survival_km or a bucket-offsets
+    table), a Deduplicate over non-SF-scaling keys, or no SF-scaling
+    TPC-H base key referenced at all (events/documents/embeddings
     frames are pre-aggregated or SF-invariant slices wherever they meet
     a bare window — pinned per-query below and by the bucketed-window
     tests).
@@ -446,8 +463,6 @@ def test_no_global_window_over_sf_scaling_data(spark):
     registry-wide lint, the same template as
     test_no_forced_broadcast_of_sf_scaling_tables.
     """
-    markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
-    bounded = ("Aggregate", "Deduplicate", "GlobalLimit")
     # window_ntile's global ntile runs over the SF-invariant
     # `o_orderkey < 5000` slice (the partitioned variant is computed
     # alongside as the at-scale shape — see relational.py docstring);
@@ -466,8 +481,8 @@ def test_no_global_window_over_sf_scaling_data(spark):
                 and node.partitionSpec().isEmpty()
             ):
                 sub = node.child().toString()
-                if any(m in sub for m in markers) and not any(
-                    b in sub for b in bounded
+                if any(m in sub for m in SF_MARKERS) and not subtree_bounded(
+                    node.child()
                 ):
                     offenders.append(name)
             cs = node.children()
@@ -485,25 +500,8 @@ def test_no_cartesian_of_two_sf_scaling_frames(spark):
     generalizes the per-query CartesianProduct pins to the whole
     registry, with the same bounded-subtree rule as the broadcast and
     global-window lints."""
-    markers = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
-
-    def bounded(root):
-        stack = [root]
-        while stack:
-            n = stack.pop()
-            kind = n.getClass().getSimpleName()
-            if kind in ("Aggregate", "GlobalLimit"):
-                return True
-            if kind == "Deduplicate":
-                if not any(m in n.keys().toString() for m in markers):
-                    return True
-            cs = n.children()
-            for i in range(cs.size()):
-                stack.append(cs.apply(i))
-        return False
-
     def scaling(side):
-        return any(m in side.toString() for m in markers) and not bounded(side)
+        return any(m in side.toString() for m in SF_MARKERS) and not subtree_bounded(side)
 
     offenders = []
     for name, (_, optimized, _) in _registry_plans(spark).items():

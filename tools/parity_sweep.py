@@ -106,22 +106,32 @@ def norm(v):
 if not names:
     names = list(qs)
 fails = []
+def _name_sorted_rows(cols, rows):
+    """Reorder every row's values by sorted column name — the driver's
+    canonicalization — so a column-ORDER difference between Spark and
+    oracle neither produces cross-column false diffs nor silently
+    passes on coincidentally equal values."""
+    order = [i for i, _ in sorted(enumerate(cols), key=lambda t: t[1])]
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
 for name in names:
     t0 = time.time()
     try:
         sdf = qs[name](spark, SF)
-        srows = sorted(tuple(norm(v) for v in r) for r in sdf.collect())
+        scols = sdf.columns
+        srows = _name_sorted_rows(scols, sdf.collect())
         if name not in oracles:
             print(f"{name} rows-only {len(srows)} {time.time()-t0:.1f}s", flush=True)
             continue
         cur = con.execute(_memoize_truth(oracles[name], name))
         ocols = [d[0] for d in cur.description]
-        orows = sorted(tuple(norm(v) for v in r) for r in cur.fetchall())
-        ok = srows == orows and sorted(sdf.columns) == sorted(ocols)
+        orows = _name_sorted_rows(ocols, cur.fetchall())
+        ok = srows == orows and sorted(scols) == sorted(ocols)
         if not ok:
             fails.append(name)
-            if sorted(sdf.columns) != sorted(ocols):
-                print("  cols:", sdf.columns, "vs", ocols)
+            if sorted(scols) != sorted(ocols):
+                print("  cols:", scols, "vs", ocols)
             else:
                 print(
                     "  rows:", len(srows), len(orows), "first diffs:",
@@ -132,3 +142,4 @@ for name in names:
         fails.append(name)
         print(f"{name} ERR {str(e)[:200]}", flush=True)
 print("SWEEP", SF, "FAILS:", fails)
+sys.exit(1 if fails else 0)
