@@ -46,3 +46,54 @@ def test_component_representative_tie_breaks_to_min_doc_id(spark):
         (-picked.getField("nd")).alias("rep_doc_id")
     ).collect()[0]
     assert out["rep_doc_id"] == 20
+
+
+def test_suppress_repeats_conserves_events(spark):
+    """Every event lands in exactly one burst: sum(n_suppressed) +
+    n_bursts == total events, per (user, event_type) and globally."""
+    from project_fauna_spark.cache import release_cached
+    from project_fauna_spark.io import load_table
+
+    rows = QUERIES["stream_dedup_suppress_repeats"](spark, SF).collect()
+    release_cached()
+    assert rows
+    per_key: dict = {}
+    for r in rows:
+        assert r["n_suppressed"] >= 0
+        k = (r["user_id"], r["event_type"])
+        per_key[k] = per_key.get(k, 0) + r["n_suppressed"] + 1
+    truth = {
+        (t["user_id"], t["event_type"]): t["n"]
+        for t in load_table(spark, SF, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_key == truth
+
+
+def test_scalar_hof_python_replay(spark):
+    """The HOF battery must agree with a plain-Python replay of the
+    same word-level definitions on every row."""
+    from project_fauna_spark.cache import release_cached
+    from project_fauna_spark.io import load_table
+
+    out = {r["doc_id"]: r for r in QUERIES["scalar_higher_order_fns"](spark, SF).collect()}
+    release_cached()
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        words = text.split(" ")
+        r = out[doc_id]
+        assert r["total_chars"] == sum(len(w) for w in words)
+        assert r["n_data"] == sum(1 for w in words if w == "data")
+        assert r["mentions_engine"] == any(w in ("spark", "query") for w in words)
+        assert r["first5_upper"] == "|".join(w.upper() for w in words[:5])
+        assert r["long_words_20"] == "|".join(w for w in words[:20] if len(w) > 4)
+        assert r["has_the_early"] == ("the" in words[:50])
