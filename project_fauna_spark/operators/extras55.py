@@ -1,10 +1,15 @@
-"""Round-8 addition: duplicate-cluster representative selection.
+"""Round-8 addition: dedup keep-policy contrast over near-dup clusters.
 
-The stage a production dedup pipeline runs AFTER connected components:
-each near-dup cluster keeps exactly one representative (the
-highest-quality member, ties to the earliest doc) and drops the rest —
-the decision table that turns a component labeling into an actual
-keep/drop list and a measurable byte savings.
+``dedup_cluster_representative`` (extras4) answers WHO survives under
+the keep-longest policy.  This table answers the design-review
+question one step earlier: for every multi-member near-dup component,
+what does each candidate keep-policy (keep-LONGEST member vs
+keep-FIRST member, the C4/RefinedWeb default vs the
+first-occurrence-wins rule the incremental path
+``dedup_incremental_new_batch`` already enforces) actually cost in
+bytes, and where do the two policies disagree?  The disagreement rows
+ARE the price of choosing the cheap streaming-friendly policy — the
+number a pipeline owner needs before committing to incremental dedup.
 
 Registered after extras54 so the pinned round-8 window is untouched;
 fills round 9's one spare seat (ADVICE r6 throttle: 1 addition vs 50
@@ -31,22 +36,40 @@ def _component_representative_oracle() -> str:
       FROM comp c JOIN d USING (doc_id)
       WHERE c.n_members > 1
     ),
-    best AS (SELECT component_id, MAX(len) AS rep_len FROM j GROUP BY component_id),
-    rep AS (
-      SELECT j.component_id, MIN(j.doc_id) AS rep_doc_id
+    best AS (SELECT component_id, MAX(len) AS rep_len_longest
+             FROM j GROUP BY component_id),
+    rep_l AS (
+      SELECT j.component_id, MIN(j.doc_id) AS rep_longest
       FROM j JOIN best ON best.component_id = j.component_id
-                      AND j.len = best.rep_len
+                      AND j.len = best.rep_len_longest
       GROUP BY j.component_id
+    ),
+    rep_f AS (
+      SELECT component_id, MIN(doc_id) AS rep_first FROM j GROUP BY component_id
+    ),
+    first_len AS (
+      SELECT j.component_id, j.len AS rep_len_first
+      FROM j JOIN rep_f ON rep_f.component_id = j.component_id
+                       AND j.doc_id = rep_f.rep_first
     )
     SELECT j.component_id,
            CAST(MAX(j.n_members) AS BIGINT) AS n_members,
-           ANY_VALUE(rep.rep_doc_id) AS rep_doc_id,
-           ANY_VALUE(best.rep_len) AS rep_len,
+           ANY_VALUE(rep_l.rep_longest) AS rep_longest,
+           ANY_VALUE(best.rep_len_longest) AS rep_len_longest,
+           ANY_VALUE(rep_f.rep_first) AS rep_first,
+           ANY_VALUE(first_len.rep_len_first) AS rep_len_first,
            CAST(SUM(j.len) AS BIGINT) AS total_len,
-           CAST(SUM(j.len) - ANY_VALUE(best.rep_len) AS BIGINT) AS saved_len
+           CAST(SUM(j.len) - ANY_VALUE(best.rep_len_longest) AS BIGINT)
+             AS saved_len_longest,
+           CAST(SUM(j.len) - ANY_VALUE(first_len.rep_len_first) AS BIGINT)
+             AS saved_len_first,
+           ANY_VALUE(rep_l.rep_longest) = ANY_VALUE(rep_f.rep_first)
+             AS policies_agree
     FROM j
     JOIN best ON best.component_id = j.component_id
-    JOIN rep ON rep.component_id = j.component_id
+    JOIN rep_l ON rep_l.component_id = j.component_id
+    JOIN rep_f ON rep_f.component_id = j.component_id
+    JOIN first_len ON first_len.component_id = j.component_id
     GROUP BY j.component_id
     """
 
@@ -56,22 +79,32 @@ def _component_representative_oracle() -> str:
     oracle_builder=_component_representative_oracle,
 )
 def dedup_component_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Representative selection over the near-dup component graph: for
-    every multi-member component, keep the longest member (quality
-    proxy: exact character length — deterministic and engine-portable,
-    where a model score would not be), ties broken to the SMALLEST
-    doc_id (first-occurrence-wins, the ``dedup_incremental_new_batch``
-    convention), and report the byte savings of dropping the rest.
+    """Keep-policy contrast over the near-dup component graph: for
+    every multi-member component, the representative and exact byte
+    savings under BOTH standard policies — keep-LONGEST member (the
+    C4/RefinedWeb quality proxy; ties to the smallest doc_id) and
+    keep-FIRST member (first-occurrence-wins, the only policy an
+    incremental/streaming dedup can enforce, cf.
+    ``dedup_incremental_new_batch``) — plus where they disagree.
+    ``dedup_cluster_representative`` (extras4) reports the
+    keep-longest winner alone; this is the policy-selection table that
+    justifies (or vetoes) switching to the cheaper incremental rule:
+    ``rep_len_longest − rep_len_first`` summed over disagreeing
+    components is the exact content (in bytes of best-copy text) that
+    first-occurrence-wins throws away, and ``saved_len_first −
+    saved_len_longest`` is the extra storage it reclaims in exchange.
 
-    The argmax is ONE struct-max aggregate (``max(struct(len,
-    -doc_id))`` — lexicographic struct ordering gives max length then
-    min doc_id; the repo's standard tie-safe argmax), so the whole
+    Both argmaxes are single struct-extrema aggregates in ONE pass
+    (``max(struct(len, -doc_id))`` for longest — lexicographic struct
+    ordering gives max length then min doc_id, the repo's tie-safe
+    argmax; ``min(struct(doc_id, len))`` for first), so the whole
     stage costs one ids+length join and one aggregate on top of the
     CC fixpoint — no text ever shuffles (length folds at the scan),
-    and every output is an exact integer (no float edge at all).
+    and every compared value is an exact integer (the one boolean is
+    an integer equality both engines compute on identical inputs).
     At 100 TB this is the keep/drop decision table the rewrite job
-    consumes; components are near-dup families so the per-key state
-    is family-sized, never corpus-sized.
+    consumes; components are near-dup families so per-key state is
+    family-sized, never corpus-sized.
     """
     from project_fauna_spark.operators.dedup import dedup_connected_components
 
@@ -80,13 +113,18 @@ def dedup_component_representative(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id", F.length("text").cast("long").alias("len")
     )
     j = comp.filter(F.col("n_members") > 1).join(d, "doc_id")
-    picked = F.max(
+    longest = F.max(
         F.struct(F.col("len").alias("l"), (-F.col("doc_id")).alias("nd"))
     )
+    first = F.min(F.struct(F.col("doc_id").alias("d"), F.col("len").alias("l")))
     return j.groupBy("component_id").agg(
         F.max("n_members").cast("long").alias("n_members"),
-        (-picked.getField("nd")).alias("rep_doc_id"),
-        F.max("len").alias("rep_len"),
+        (-longest.getField("nd")).alias("rep_longest"),
+        longest.getField("l").alias("rep_len_longest"),
+        first.getField("d").alias("rep_first"),
+        first.getField("l").alias("rep_len_first"),
         F.sum("len").cast("long").alias("total_len"),
-        (F.sum("len") - F.max("len")).cast("long").alias("saved_len"),
+        (F.sum("len") - longest.getField("l")).cast("long").alias("saved_len_longest"),
+        (F.sum("len") - first.getField("l")).cast("long").alias("saved_len_first"),
+        ((-longest.getField("nd")) == first.getField("d")).alias("policies_agree"),
     )

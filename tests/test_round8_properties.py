@@ -10,8 +10,8 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_component_representative_invariants(spark):
-    """The keep/drop table must be internally consistent AND consistent
-    with the component labeling it composes."""
+    """The policy-contrast table must be internally consistent AND
+    consistent with the component labeling it composes."""
     from project_fauna_spark.cache import release_cached
 
     reps = {r["component_id"]: r for r in QUERIES["dedup_component_representative"](spark, SF).collect()}
@@ -29,9 +29,16 @@ def test_component_representative_invariants(spark):
     assert set(reps) == set(members)
     for cid, r in reps.items():
         assert r["n_members"] == len(members[cid]) >= 2
-        assert r["rep_doc_id"] in members[cid], "representative must be a member"
-        assert 0 < r["rep_len"] <= r["total_len"]
-        assert r["saved_len"] == r["total_len"] - r["rep_len"]
+        assert r["rep_longest"] in members[cid]
+        assert r["rep_first"] == min(members[cid]), "first = min doc_id member"
+        assert 0 < r["rep_len_longest"] <= r["total_len"]
+        assert 0 < r["rep_len_first"] <= r["rep_len_longest"]
+        assert r["saved_len_longest"] == r["total_len"] - r["rep_len_longest"]
+        assert r["saved_len_first"] == r["total_len"] - r["rep_len_first"]
+        # keep-longest retains the most content, so it saves the FEWEST
+        # bytes; keep-first saves at least as much
+        assert r["saved_len_first"] >= r["saved_len_longest"]
+        assert r["policies_agree"] == (r["rep_longest"] == r["rep_first"])
 
 
 def test_component_representative_tie_breaks_to_min_doc_id(spark):
