@@ -87,39 +87,65 @@ def _memo_table(base: str, frag: str) -> str:
     return f"{base}_{hashlib.md5(frag.encode()).hexdigest()[:8]}"
 
 
+# The first two fragments are SPLICED by other oracles (memo cuts their
+# consumers from ~9 min to seconds).  The rest are self-contained but
+# individually expensive (>3 min DuckDB at sf0.1, measured in the r8
+# full sweep); memoizing them only pays on REPEAT sweeps of the same
+# corpus — the first sweep's build IS the verification, and the corpus
+# digest + fragment hash in the table name guarantee a stale memo can
+# never serve a changed oracle or regenerated data.
+_HEAVY = (
+    ("dedup_ngram_jaccard", "ngram_truth_pairs_memo"),
+    ("dedup_connected_components", "cc_components_memo"),
+    ("dedup_component_size_histogram", "cc_size_hist_memo"),
+    ("dedup_containment", "containment_memo"),
+    ("dedup_threshold_sweep", "threshold_sweep_memo"),
+    ("graph_degree_assortativity", "assortativity_memo"),
+    ("graph_reciprocity", "reciprocity_memo"),
+)
 _MEMOS = {
-    name: (frag, _memo_table(base, frag), [False])
-    for name, frag, base in (
-        ("dedup_ngram_jaccard", _REG_ORACLE["dedup_ngram_jaccard"],
-         "ngram_truth_pairs_memo"),
-        ("dedup_connected_components", _REG_ORACLE["dedup_connected_components"],
-         "cc_components_memo"),
-    )
+    name: (_REG_ORACLE[name], _memo_table(base, _REG_ORACLE[name]), [False])
+    for name, base in _HEAVY
 }
+
+
+def _ensure_built(src_name: str) -> str:
+    """Build (or reuse) one memo table; a fragment that itself splices
+    another memoized fragment builds THROUGH that memo (size_histogram
+    embeds the CC fixpoint — its build must not re-pay it)."""
+    frag, table, built = _MEMOS[src_name]
+    if built[0]:
+        return table
+    built[0] = True  # set first: cycles are impossible but cheap to guard
+    exists = con.execute(
+        "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
+        [table],
+    ).fetchone()[0]
+    if exists:
+        print(f"[{table} reused from memo db]", flush=True)
+        return table
+    build_sql = frag
+    for other, (ofrag, _, _) in _MEMOS.items():
+        if other != src_name and ofrag in build_sql:
+            build_sql = build_sql.replace(
+                ofrag, f" SELECT * FROM {_ensure_built(other)} "
+            )
+    t0 = time.time()
+    con.execute(f"CREATE TABLE {table} AS ({build_sql})")
+    print(f"[{table} built {time.time()-t0:.1f}s]", flush=True)
+    return table
 
 
 def _memoize_truth(sql: str, name: str) -> str:
     """Rewrite splices of memoized oracle fragments to read memo tables
     (persistent in the digest-keyed DB — reused by later sweeps on the
-    same corpus)."""
-    for src_name, (frag, table, built) in _MEMOS.items():
-        if name != src_name and frag not in sql:
-            continue
-        if not built[0]:
-            exists = con.execute(
-                "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
-                [table],
-            ).fetchone()[0]
-            if not exists:
-                t0 = time.time()
-                con.execute(f"CREATE TABLE {table} AS ({frag})")
-                print(f"[{table} built {time.time()-t0:.1f}s]", flush=True)
-            else:
-                print(f"[{table} reused from memo db]", flush=True)
-            built[0] = True
-        if name == src_name:
-            return f"SELECT * FROM {table}"
-        sql = sql.replace(frag, f" SELECT * FROM {table} ")
+    same corpus).  A memoized source query is served from its own memo
+    (the build is its verification)."""
+    if name in _MEMOS:
+        return f"SELECT * FROM {_ensure_built(name)}"
+    for src_name, (frag, _, _) in _MEMOS.items():
+        if frag in sql:
+            sql = sql.replace(frag, f" SELECT * FROM {_ensure_built(src_name)} ")
     return sql
 
 
