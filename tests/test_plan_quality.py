@@ -491,6 +491,51 @@ def test_no_global_window_over_sf_scaling_data(spark):
     assert sorted(set(offenders)) == [], sorted(set(offenders))
 
 
+def test_no_full_width_scans_of_wide_tables(spark):
+    """Repo invariant (round-8): every parquet scan of a WIDE table
+    (≥5 columns) must be column-pruned — ``ReadSchema`` narrower than
+    the table — unless the operator provably consumes every column.
+    At 100 TB an unpruned lineitem scan reads ~2× the bytes of the
+    typical 5-6 column analytical projection; pruning is free when the
+    plan is declarative, so a full-width scan means a dropped
+    projection (e.g. a ``select('*')`` passthrough before a join).
+
+    This converts the ad-hoc end-of-round scan-width audits (CLAUDE.md
+    round-8 notes) into a registry-wide lint, parsing the cached
+    formatted physical plans: each ``Scan parquet`` block's
+    ``Output [N]`` against the table width from its ``Location`` line.
+
+    Allowlist — operators whose semantics consume the full row:
+    - link_blocked_records: Fellegi-Sunter linkage blocks on
+      (p_brand, p_size) and compares p_type/p_name/p_retailprice with
+      p_partkey as the pair id — all 6 of part's 6 columns.
+    """
+    import re
+
+    widths = {
+        "lineitem": 11,
+        "orders": 6,
+        "part": 6,
+        "events": 6,
+        "customer": 5,
+        "documents": 5,
+    }
+    allowed = {("link_blocked_records", "part")}
+    loc_pat = re.compile(r"Location:.*?/(\w+)\.parquet")
+    offenders = []
+    for name, (_, _, plan) in _registry_plans(spark).items():
+        for m in re.finditer(r"\(\d+\) Scan parquet[^\n]*\n((?:[^\n]+\n)+)", plan):
+            block = m.group(1)
+            loc = loc_pat.search(block)
+            out = re.search(r"Output \[(\d+)\]", block)
+            if not (loc and out):
+                continue
+            table, n = loc.group(1), int(out.group(1))
+            if table in widths and n >= widths[table] and (name, table) not in allowed:
+                offenders.append((name, table, n))
+    assert sorted(set(offenders)) == [], sorted(set(offenders))
+
+
 def test_no_cartesian_of_two_sf_scaling_frames(spark):
     """Repo invariant (round-8): a cross join (logical Cross, or Inner
     with no condition) is the all-pairs scale-killer when BOTH inputs
