@@ -1,0 +1,137 @@
+"""Measured scaling probe: replicate testdata N× into /tmp, time queries.
+
+Usage (run from OUTSIDE the repo, like parity_sweep.py)::
+
+    python3 tools/scale_probe.py <mode> <N> <query> [query...]
+
+Modes (each preserves per-copy structure so output claims are EXACT,
+recorded per family in SCALING.md round-7/8 probes):
+
+- ``tagged``   — documents only, each copy's words prefixed with a copy
+  tag: DISJOINT vocab/shingle spaces per copy.  For cross-doc text ops
+  (dedup, tf-idf, inverted index): pair/df structure is per-shard
+  identical, so pair counts / output rows must scale exactly N×.
+- ``docid``    — documents only, doc_id offset, text UNCHANGED.  For
+  per-row ops with no cross-doc interaction (mm mapInPandas family):
+  per-doc outputs identical by construction; N identical copies of a
+  text collapse into the same digest bucket for hash-dedup ops (group
+  count invariant, groups N× deeper).
+- ``relational`` — lineitem/orders/events with per-copy key offsets
+  (l_orderkey/o_orderkey +k·10⁹, event_id +k·10⁹, user_id +k·10⁸),
+  dimension tables copied 1×: the fact:dim fan grows exactly like SF.
+  Decimal-sum aggregates must scale exactly N× (1-ulp double cast);
+  per-user window stacks emit exactly N× rows.
+
+Timings are best-of-3 warm on local[32] with the library's 24g heap
+(the 10M-row window stack GC-thrashes a default 1g JVM — sizing, not
+plan shape).  Output: one line per query with 1× and N× wall + row
+counts + the exact-N× row check.  Structural claims beyond row counts
+(sum scaling, group invariance) stay in the per-family SCALING.md
+records where their caveats can be stated honestly.
+"""
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+MODE = sys.argv[1]
+N = int(sys.argv[2])
+NAMES = sys.argv[3:]
+S1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = f"/tmp/scale_probe_{MODE}_{N}x"
+
+import duckdb
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def build() -> None:
+    if os.path.isdir(OUT) and os.path.exists(f"{OUT}/.complete"):
+        return
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    copies = f"(SELECT unnest(range(0,{N})) AS k) c"
+    if MODE == "tagged":
+        con.execute(f"""
+        COPY (SELECT doc_id + c.k*10000000 AS doc_id,
+                     list_aggregate(list_transform(string_split(text,' '),
+                       w -> 'c' || CAST(c.k AS VARCHAR) || w),'string_agg',' ') AS text,
+                     lang, source, n_chars
+              FROM '{S1}/documents.parquet', {copies})
+        TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
+        scaled = {"documents"}
+    elif MODE == "docid":
+        con.execute(f"""
+        COPY (SELECT doc_id + c.k*10000000 AS doc_id, text, lang, source, n_chars
+              FROM '{S1}/documents.parquet', {copies})
+        TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
+        scaled = {"documents"}
+    elif MODE == "relational":
+        con.execute(f"""
+        COPY (SELECT l_orderkey + c.k*1000000000 AS l_orderkey, l_partkey, l_suppkey,
+                     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                     l_returnflag, l_linestatus, l_shipdate
+              FROM '{S1}/lineitem.parquet', {copies})
+        TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""
+        COPY (SELECT o_orderkey + c.k*1000000000 AS o_orderkey, o_custkey,
+                     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+              FROM '{S1}/orders.parquet', {copies})
+        TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""
+        COPY (SELECT event_id + c.k*1000000000 AS event_id, ts,
+                     user_id + c.k*100000000 AS user_id, event_type, value, props
+              FROM '{S1}/events.parquet', {copies})
+        TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
+        scaled = {"lineitem", "orders", "events"}
+    else:
+        raise SystemExit(f"unknown mode {MODE!r}")
+    for t in ALL_TABLES:
+        if t not in scaled:
+            shutil.copy(f"{S1}/{t}.parquet", f"{OUT}/{t}.parquet")
+    open(f"{OUT}/.complete", "w").close()
+
+
+build()
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+    .config("spark.sql.shuffle.partitions", "32")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from project_fauna_spark.plans import QUERIES
+from project_fauna_spark.session import configure_session
+
+configure_session(spark)
+
+
+def best_of_3(q, sf):
+    q(spark, sf).count()  # warm
+    best, rows = None, None
+    for _ in range(3):
+        t = time.time()
+        rows = q(spark, sf).count()
+        w = time.time() - t
+        best = w if best is None or w < best else best
+    return rows, best
+
+
+for name in NAMES:
+    q = QUERIES[name]
+    r1, w1 = best_of_3(q, S1)
+    rN, wN = best_of_3(q, OUT)
+    print(
+        f"{name}: 1x rows={r1} best={w1:.2f}s | {N}x rows={rN} best={wN:.2f}s"
+        f" | ratio={wN / w1:.1f}x | rows_exact_{N}x={rN == N * r1}"
+    )
