@@ -50,6 +50,26 @@ ALL_TABLES = (
 )
 
 
+# DuckDB materializes an un-ORDERed COPY of a range-cross-join largely
+# in memory (observed ~100 GB RSS at N=1000 on lineitem) — so scaled
+# tables are written as a DIRECTORY of per-chunk parquet files, ≤50
+# copies per chunk.  Spark reads `dir.parquet/` transparently; the
+# probe never runs a DuckDB oracle over the scaled corpus.
+CHUNK = 50
+
+
+def _chunked_copy(con, select_tmpl: str, out_table: str) -> None:
+    d = f"{OUT}/{out_table}.parquet"
+    os.makedirs(d, exist_ok=True)
+    for lo in range(0, N, CHUNK):
+        hi = min(lo + CHUNK, N)
+        copies = f"(SELECT unnest(range({lo},{hi})) AS k) c"
+        con.execute(
+            f"COPY ({select_tmpl.format(copies=copies)})"
+            f" TO '{d}/chunk{lo}.parquet' (FORMAT PARQUET)"
+        )
+
+
 def build() -> None:
     if os.path.isdir(OUT) and os.path.exists(f"{OUT}/.complete"):
         return
@@ -72,22 +92,19 @@ def build() -> None:
         TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
         scaled = {"documents"}
     elif MODE == "relational":
-        con.execute(f"""
-        COPY (SELECT l_orderkey + c.k*1000000000 AS l_orderkey, l_partkey, l_suppkey,
-                     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
-                     l_returnflag, l_linestatus, l_shipdate
-              FROM '{S1}/lineitem.parquet', {copies})
-        TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)""")
-        con.execute(f"""
-        COPY (SELECT o_orderkey + c.k*1000000000 AS o_orderkey, o_custkey,
-                     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-              FROM '{S1}/orders.parquet', {copies})
-        TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
-        con.execute(f"""
-        COPY (SELECT event_id + c.k*1000000000 AS event_id, ts,
-                     user_id + c.k*100000000 AS user_id, event_type, value, props
-              FROM '{S1}/events.parquet', {copies})
-        TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
+        _chunked_copy(con, f"""
+        SELECT l_orderkey + c.k*1000000000 AS l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM '{S1}/lineitem.parquet', {{copies}}""", "lineitem")
+        _chunked_copy(con, f"""
+        SELECT o_orderkey + c.k*1000000000 AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM '{S1}/orders.parquet', {{copies}}""", "orders")
+        _chunked_copy(con, f"""
+        SELECT event_id + c.k*1000000000 AS event_id, ts,
+               user_id + c.k*100000000 AS user_id, event_type, value, props
+        FROM '{S1}/events.parquet', {{copies}}""", "events")
         scaled = {"lineitem", "orders", "events"}
     else:
         raise SystemExit(f"unknown mode {MODE!r}")
