@@ -102,6 +102,16 @@ _HEAVY = (
     ("dedup_threshold_sweep", "threshold_sweep_memo"),
     ("graph_degree_assortativity", "assortativity_memo"),
     ("graph_reciprocity", "reciprocity_memo"),
+    # r8-restart additions: the warm-sweep tail once the dedup memos
+    # land — DuckDB-side costs measured on the regenerated sf0.1 corpus
+    # (survivorship 112 s, pagerank 109 s, ols 30 s, common-neighbors
+    # 28 s, corpus-clean 26 s, degree-distribution 17 s).
+    ("llm_dedup_survivorship_report", "survivorship_memo"),
+    ("graph_pagerank_trade", "pagerank_memo"),
+    ("graph_degree_distribution", "degree_dist_memo"),
+    ("graph_common_neighbors", "common_neighbors_memo"),
+    ("llm_corpus_clean", "corpus_clean_memo"),
+    ("ml_ols_fit", "ols_fit_memo"),
 )
 _MEMOS = {
     name: (_REG_ORACLE[name], _memo_table(base, _REG_ORACLE[name]), [False])
