@@ -19,7 +19,9 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -219,4 +221,91 @@ def window_moving_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "n", corr.alias("corr16")
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_max_drawdown — worst peak-to-trough collapse of the daily series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day,
+             MAX(cnt) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) - cnt AS dd
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type, CAST(MAX(dd) AS BIGINT) AS max_drawdown,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM w GROUP BY 1
+    )
+    SELECT m.event_type, m.n_days, m.max_drawdown,
+           MIN(w.day) AS trough_day
+    FROM m JOIN w ON w.event_type = m.event_type AND w.dd = m.max_drawdown
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily event count per type: the largest
+    gap between the running historical peak and the current day's
+    volume, plus the (earliest) day it bottomed out — the
+    peak-to-trough collapse metric finance applies to equity curves
+    and ops dashboards apply to traffic ("how far below our best day
+    did we ever fall, and when?").  ``ts_cusum_changepoint`` locates
+    sustained level SHIFTS; drawdown measures worst-case regression
+    from the peak — 0 for a series that only ever sets new highs.
+
+    All-integer: running max of exact counts, drawdown = runmax − cnt,
+    the trough is the min day achieving the max (join-back, no
+    order-dependent argmax).  Scale: the window and join-back run on
+    the calendar-bounded daily frame (days × types), after one
+    map-combined aggregate over raw events — a per-key unbounded
+    series would two-phase through ``functions/ranks.bucket_offsets``
+    instead.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = cached(
+        daily.select(
+            "event_type",
+            "day",
+            (F.max("cnt").over(run) - F.col("cnt")).alias("dd"),
+        )
+    )
+    m = w.groupBy("event_type").agg(
+        F.max("dd").cast("long").alias("max_drawdown"),
+        F.count("*").alias("n_days"),
+    )
+    # m derives from w, so disambiguate the join keys by renaming.
+    m2 = m.withColumnRenamed("event_type", "et")
+    return (
+        w.join(
+            F.broadcast(m2),
+            (F.col("event_type") == F.col("et"))
+            & (F.col("dd") == F.col("max_drawdown")),
+        )
+        .groupBy("et", "n_days", "max_drawdown")
+        .agg(F.min("day").alias("trough_day"))
+        .select(
+            F.col("et").alias("event_type"),
+            "n_days",
+            "max_drawdown",
+            "trough_day",
+        )
     )

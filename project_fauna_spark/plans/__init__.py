@@ -7,79 +7,40 @@ Module import order IS registry iteration order (dict insertion), and
 the external driver grades the first 50 entries per round — so imports
 are ordered to rotate not-yet-driver-verified modules into that window.
 
-Round-8 window (this order, exactly 50 entries, ALL first-time names):
-extras8 (1 — its four round-7-graded entries moved home to dedup.py /
-similarity.py / layout.py at this rotation, the same moved-home
-convention as the round-7 regrade seats, so ``ts_date_spine_gapfill``
-heads the window alone) + extras9..extras29 (48) + extras30's first
-registration (``ts_max_drawdown``) = 50.  The cut straddles extras30
-the way round 7's straddled extras8.  The window composition is pinned
-by tests/test_window_manifest.py against WINDOW_r8.txt — do NOT add
-registrations to any module at or before extras30's first entry
-mid-round; new operators go in a NEW module imported after extras53.
+Round-9 window (this order, exactly 50 entries, ALL first-time names —
+the LAST never-graded backlog; after this round every registered query
+has been driver-graded at least once): extras30 (1 —
+``q_discount_demand_curve`` heads the window alone after
+``ts_max_drawdown``, graded as r8 seat 50, moved home to
+``timeseries.py`` at this rotation, the same moved-home convention as
+the r7/r8 splits) + extras31..extras52 (44) + extras53 (2) + extras54
+(2 — the strays relocated mid-r8) + extras55 (1 — the sole r8
+addition) = 50.  Pinned by tests/test_window_manifest.py against
+WINDOW_r9.txt — do NOT add registrations to any module at or before
+extras55 mid-round; new operators go in a NEW module imported after
+extras55.
 
-Round-9 queue (staged, oldest-added first): extras30 tail
-(q_discount_demand_curve) + extras31..extras52 (44) + extras53 (2) +
-extras54 (2 — stream_dedup_suppress_repeats and
-scalar_higher_order_fns, the only never-graded entries that were
-interleaved among graded siblings, relocated mid-r8 so the backlog is
-contiguous) = 49, + extras55's dedup_component_representative (the
-one r8 addition) = exactly 50 — zero never-graded entries remain
-after r9 (ADVICE r6 throttle honored: 1 added vs 50 graded).  The r9 rotation itself is then a pure import reorder:
-move extras8..extras29 AND streaming_batch (now all-graded) behind
-the back block.  NOTE: extras30 has 2 entries with only the FIRST
-graded in r8 — at the r9 rotation move ts_max_drawdown home
-(timeseries.py) so q_discount_demand_curve can head the window,
-exactly as extras8 was split this round.
+After round 9 the rotation's job changes: zero never-graded entries
+remain, so r10+ windows are free for re-grades (oldest-graded-first)
+and new additions — additions stay throttled to ≤ grading throughput
+(ADVICE r6).
 
-Sweep coverage (all on the r7-regenerated testdata, which is
-byte-identical to the r8 corpus — md5s recorded in CLAUDE.md): the
-full registry passes local oracle parity at sf0.01
-(test_oracle_parity, 392/392 in the round-8 suite run: 1130 passed /
-1 skipped) AND passed a FOREIGN plain-session sweep at sf0.01 (zero
-mismatches, 2026-08-15); the exact r8 window passed a foreign sf0.1
-sweep 50/50 pre-rotation AND a foreign sf0.01 sweep 50/50
-post-rotation (both 2026-08-15); the staged r9 draft block (all 50
-names incl. the relocated extras54 pair and extras55) passed a
-foreign sf0.1 sweep 50/50 post-staging (2026-08-15) — the next
-rotation is pre-verified at 10× the graded scale.  End-of-round
-validation in the FINAL import order (2026-08-15): full registry
-392/392 foreign sf0.01, r8 window 50/50 foreign sf0.1, and a
-repeat-invocation stability sweep (every window query run twice in
-one session, identical rows — the driver's 50-in-one-session shape).
-sf0.1 sweeps run through tools/parity_sweep.py, which memoizes the
-two ~9-minute DuckDB fragments (ngram truth pairs, CC fixpoint) into
-build-once temp tables.
+Sweep coverage (all on the r8-RESTART regenerated corpus, md5s in
+CLAUDE.md): the full registry passed local oracle parity at sf0.01
+(1134-test suite) AND four full foreign plain-session sf0.1 sweeps
+(392/392 each, 2026-08-16); this exact r9 window passed a foreign
+sf0.1 sweep 50/50 AND a repeat-invocation stability sweep (every
+query twice in one session, identical rows) before the rotation was
+staged on the r9-rotation branch.  sf0.1 sweeps run through
+tools/parity_sweep.py (13 memoized heavy oracles, digest-keyed memo
+DB, warm full-registry wall ~15 min).
 """
 
 from project_fauna_spark.plans.registry import QUERIES, ORACLE, register
 
 # Operator modules register their queries at import time.
-# --- round-8 grading window: exactly 50 entries ---
-import project_fauna_spark.operators.extras8  # noqa: F401,E402  (1 entry: ts_date_spine_gapfill)
-import project_fauna_spark.operators.extras9  # noqa: F401,E402
-import project_fauna_spark.operators.extras10  # noqa: F401,E402
-import project_fauna_spark.operators.extras11  # noqa: F401,E402
-import project_fauna_spark.operators.extras12  # noqa: F401,E402
-import project_fauna_spark.operators.extras13  # noqa: F401,E402
-import project_fauna_spark.operators.extras14  # noqa: F401,E402
-import project_fauna_spark.operators.extras15  # noqa: F401,E402
-import project_fauna_spark.operators.extras16  # noqa: F401,E402
-import project_fauna_spark.operators.extras17  # noqa: F401,E402
-import project_fauna_spark.operators.extras18  # noqa: F401,E402
-import project_fauna_spark.operators.extras19  # noqa: F401,E402
-import project_fauna_spark.operators.extras20  # noqa: F401,E402
-import project_fauna_spark.operators.extras21  # noqa: F401,E402
-import project_fauna_spark.operators.extras22  # noqa: F401,E402
-import project_fauna_spark.operators.extras23  # noqa: F401,E402
-import project_fauna_spark.operators.extras24  # noqa: F401,E402
-import project_fauna_spark.operators.extras25  # noqa: F401,E402
-import project_fauna_spark.operators.extras26  # noqa: F401,E402
-import project_fauna_spark.operators.extras27  # noqa: F401,E402
-import project_fauna_spark.operators.extras28  # noqa: F401,E402
-import project_fauna_spark.operators.extras29  # noqa: F401,E402
-import project_fauna_spark.operators.extras30  # noqa: F401,E402  (window cuts after its 1st entry)
-# --- queued for round 9 (oldest-added first) ---
+# --- round-9 grading window: exactly 50 entries ---
+import project_fauna_spark.operators.extras30  # noqa: F401,E402  # (1 entry: q_discount_demand_curve)
 import project_fauna_spark.operators.extras31  # noqa: F401,E402
 import project_fauna_spark.operators.extras32  # noqa: F401,E402
 import project_fauna_spark.operators.extras33  # noqa: F401,E402
@@ -102,12 +63,10 @@ import project_fauna_spark.operators.extras49  # noqa: F401,E402
 import project_fauna_spark.operators.extras50  # noqa: F401,E402
 import project_fauna_spark.operators.extras51  # noqa: F401,E402
 import project_fauna_spark.operators.extras52  # noqa: F401,E402
-import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
 import project_fauna_spark.operators.extras53  # noqa: F401,E402
-import project_fauna_spark.operators.extras54  # noqa: F401,E402  (relocated never-graded strays)
-# round-8 addition (NEW module only, post-window; graded r9)
-import project_fauna_spark.operators.extras55  # noqa: F401,E402
-# --- driver-green in rounds 2-7: back of the rotation ---
+import project_fauna_spark.operators.extras54  # noqa: F401,E402  # (relocated never-graded strays)
+import project_fauna_spark.operators.extras55  # noqa: F401,E402  # (the one r8 addition)
+# --- driver-green in rounds 1-8: back of the rotation ---
 import project_fauna_spark.operators.semistructured  # noqa: F401,E402
 import project_fauna_spark.operators.modern_sql  # noqa: F401,E402
 import project_fauna_spark.operators.analytics  # noqa: F401,E402
@@ -131,7 +90,6 @@ import project_fauna_spark.operators.llm_quality  # noqa: F401,E402
 import project_fauna_spark.operators.udf_surface  # noqa: F401,E402
 import project_fauna_spark.operators.reference_queries  # noqa: F401,E402
 import project_fauna_spark.operators.relational  # noqa: F401,E402
-# --- round-7 window block, graded green in r7: back of the rotation ---
 import project_fauna_spark.operators.warehouse  # noqa: F401,E402
 import project_fauna_spark.operators.clustering  # noqa: F401,E402
 import project_fauna_spark.operators.upsert  # noqa: F401,E402
@@ -139,6 +97,29 @@ import project_fauna_spark.operators.ml_feature  # noqa: F401,E402
 import project_fauna_spark.operators.extras5  # noqa: F401,E402
 import project_fauna_spark.operators.extras6  # noqa: F401,E402
 import project_fauna_spark.operators.extras7  # noqa: F401,E402
+import project_fauna_spark.operators.extras8  # noqa: F401,E402
+import project_fauna_spark.operators.extras9  # noqa: F401,E402
+import project_fauna_spark.operators.extras10  # noqa: F401,E402
+import project_fauna_spark.operators.extras11  # noqa: F401,E402
+import project_fauna_spark.operators.extras12  # noqa: F401,E402
+import project_fauna_spark.operators.extras13  # noqa: F401,E402
+import project_fauna_spark.operators.extras14  # noqa: F401,E402
+import project_fauna_spark.operators.extras15  # noqa: F401,E402
+import project_fauna_spark.operators.extras16  # noqa: F401,E402
+import project_fauna_spark.operators.extras17  # noqa: F401,E402
+import project_fauna_spark.operators.extras18  # noqa: F401,E402
+import project_fauna_spark.operators.extras19  # noqa: F401,E402
+import project_fauna_spark.operators.extras20  # noqa: F401,E402
+import project_fauna_spark.operators.extras21  # noqa: F401,E402
+import project_fauna_spark.operators.extras22  # noqa: F401,E402
+import project_fauna_spark.operators.extras23  # noqa: F401,E402
+import project_fauna_spark.operators.extras24  # noqa: F401,E402
+import project_fauna_spark.operators.extras25  # noqa: F401,E402
+import project_fauna_spark.operators.extras26  # noqa: F401,E402
+import project_fauna_spark.operators.extras27  # noqa: F401,E402
+import project_fauna_spark.operators.extras28  # noqa: F401,E402
+import project_fauna_spark.operators.extras29  # noqa: F401,E402
+import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
 
 # Oracles that compose OTHER queries' oracle text build last — module
 # order is the rotating grading window, so cross-oracle references can

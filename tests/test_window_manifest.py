@@ -1,7 +1,7 @@
 """Rotation guard: the driver grades the first 50 registry entries.
 
-The round-8 window composition is pinned against the checked-in
-``WINDOW_r8.txt`` manifest so an accidental import-order edit in
+The round-9 window composition is pinned against the checked-in
+``WINDOW_r9.txt`` manifest so an accidental import-order edit in
 ``plans/__init__.py`` (or a registration added to a pre-window module
 mid-round) fails the suite instead of silently re-grading old queries
 or perturbing the window the driver sees.
@@ -16,14 +16,14 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_first_50_match_manifest():
-    manifest = (REPO / "WINDOW_r8.txt").read_text().split()
+    manifest = (REPO / "WINDOW_r9.txt").read_text().split()
     assert len(manifest) == 50, "manifest must hold exactly 50 names"
 
     from project_fauna_spark.plans import QUERIES
 
     window = list(QUERIES)[:50]
     assert window == manifest, (
-        "grading window drifted from WINDOW_r8.txt — if this is a "
+        "grading window drifted from WINDOW_r9.txt — if this is a "
         "deliberate round-start rotation, regenerate the manifest in the "
         "same commit; otherwise revert the plans/__init__.py or operator-"
         "module change that perturbed registration order.\n"
