@@ -512,14 +512,18 @@ def test_no_full_width_scans_of_wide_tables(spark):
     """
     import re
 
-    widths = {
-        "lineitem": 11,
-        "orders": 6,
-        "part": 6,
-        "events": 6,
-        "customer": 5,
-        "documents": 5,
+    # Widths come from the LIVE parquet schemas, not a hard-coded map:
+    # the driver regenerates /root/testdata between rounds, and a table
+    # that gained or lost a column would make a frozen map silently
+    # under- or over-trigger (ADVICE r8).
+    all_widths = {
+        t: len(spark.read.parquet(f"{SF}/{t}.parquet").columns)
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
     }
+    widths = {t: n for t, n in all_widths.items() if n >= 5}
     allowed = {("link_blocked_records", "part")}
     loc_pat = re.compile(r"Location:.*?/(\w+)\.parquet")
     offenders = []

@@ -124,26 +124,34 @@ def _ensure_built(src_name: str) -> str:
     another memoized fragment builds THROUGH that memo (size_histogram
     embeds the CC fixpoint — its build must not re-pay it)."""
     frag, table, built = _MEMOS[src_name]
-    if built[0]:
+    if built[0] is True:
         return table
-    built[0] = True  # set first: cycles are impossible but cheap to guard
-    exists = con.execute(
-        "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
-        [table],
-    ).fetchone()[0]
-    if exists:
-        print(f"[{table} reused from memo db]", flush=True)
-        return table
-    build_sql = frag
-    for other, (ofrag, _, _) in _MEMOS.items():
-        if other != src_name and ofrag in build_sql:
-            build_sql = build_sql.replace(
-                ofrag, f" SELECT * FROM {_ensure_built(other)} "
-            )
-    t0 = time.time()
-    con.execute(f"CREATE TABLE {table} AS ({build_sql})")
-    print(f"[{table} built {time.time()-t0:.1f}s]", flush=True)
-    return table
+    if built[0] == "building":  # cycle guard only; never a success marker
+        raise RuntimeError(f"memo build cycle through {table}")
+    built[0] = "building"
+    try:
+        exists = con.execute(
+            "SELECT count(*) FROM information_schema.tables WHERE table_name = ?",
+            [table],
+        ).fetchone()[0]
+        if exists:
+            print(f"[{table} reused from memo db]", flush=True)
+            built[0] = True
+            return table
+        build_sql = frag
+        for other, (ofrag, _, _) in _MEMOS.items():
+            if other != src_name and ofrag in build_sql:
+                build_sql = build_sql.replace(
+                    ofrag, f" SELECT * FROM {_ensure_built(other)} "
+                )
+        t0 = time.time()
+        con.execute(f"CREATE TABLE {table} AS ({build_sql})")
+        print(f"[{table} built {time.time()-t0:.1f}s]", flush=True)
+        built[0] = True  # only after CREATE succeeded: a failed build must
+        return table  # surface as ONE clear error, not downstream ERRs
+    finally:
+        if built[0] != True:  # noqa: E712 — tri-state, not truthiness
+            built[0] = False  # build failed: let a retry re-attempt
 
 
 def _memoize_truth(sql: str, name: str) -> str:
