@@ -127,6 +127,47 @@ def run_query(spark, name: str) -> float:
     return best
 
 
+def attribute_global_windows(spark) -> bool:
+    """Map every `WindowExec: No Partition Defined` warning the bench
+    just emitted to the headline query whose plan produces it (VERDICT
+    r8 item 6): each empty-partitionSpec Window is re-derived from the
+    analyzed plans with the SAME bounded-subtree rule the registry lint
+    pins, so the bench tail is self-explaining — a reader can tell
+    cosmetic (lint-verified bounded frame) from real without re-deriving
+    it.  Returns False (bench must fail) if a warning source is NOT
+    justified under the lint rule."""
+    from project_fauna_spark.cache import release_cached
+    from project_fauna_spark.plans.lint import GLOBAL_WINDOW_ALLOWED, global_windows
+
+    attributed: dict[str, int] = {}
+    ok = True
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        total, unbounded = global_windows(
+            QUERIES[name](spark, SF_DIR)._jdf.queryExecution().analyzed()
+        )
+        release_cached()
+        if total:
+            attributed[name] = total
+        if unbounded and name not in GLOBAL_WINDOW_ALLOWED:
+            ok = False
+            print(
+                f"bench: UNATTRIBUTED global window in {name}: "
+                f"{unbounded} empty-partitionSpec Window node(s) over an "
+                "unbounded SF-scaling frame — scale-killer, failing bench",
+                file=sys.stderr,
+            )
+    if attributed:
+        print(
+            "bench: 'WindowExec: No Partition Defined' warnings above are "
+            "attributed to lint-verified bounded frames (3 runs each): "
+            + ", ".join(f"{n} x{c}" for n, c in sorted(attributed.items())),
+            file=sys.stderr,
+        )
+    return ok
+
+
 def main() -> None:
     spark = get_spark(app_name="fauna-bench")
     timings: dict[str, float] = {}
@@ -138,6 +179,7 @@ def main() -> None:
         except Exception as exc:  # record the failure, keep benching
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+    warnings_attributed = attribute_global_windows(spark)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -151,6 +193,8 @@ def main() -> None:
         )
     )
     spark.stop()
+    if not warnings_attributed:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

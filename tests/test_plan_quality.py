@@ -372,37 +372,15 @@ def test_phash_and_signal_use_arrow_not_rowwise(spark):
 
 
 # ---- shared bounded-subtree heuristic for the registry-wide lints ----------
-# SF_MARKERS: columns whose presence in a subtree string marks it as
-# derived from an SF-scaling table (relation nodes print their full
-# schema, so the primary keys suffice as table-level markers).
-# SF_KEY_MARKERS: the superset used for Deduplicate KEYS — any key or
-# foreign key whose distinct-count scales with SF (a `distinct
-# o_custkey` or `distinct l_partkey` frame is NOT bounded even though
-# the bare-marker containment check would miss it: 'c_custkey' is not
-# a substring of 'o_custkey' — round-8 code-review finding).
-SF_MARKERS = ("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
-SF_KEY_MARKERS = SF_MARKERS + ("o_custkey", "l_partkey", "l_suppkey")
-
-
-def subtree_bounded(root) -> bool:
-    """A logical subtree is bounded iff it contains an Aggregate /
-    GlobalLimit (its output keyspace, not the scan, is what flows on),
-    or a Deduplicate whose dedup keys reference no SF-scaling key
-    column (distinct order-status / calendar months / mod-m Bloom
-    positions are domain-bounded)."""
-    stack = [root]
-    while stack:
-        n = stack.pop()
-        kind = n.getClass().getSimpleName()
-        if kind in ("Aggregate", "GlobalLimit"):
-            return True
-        if kind == "Deduplicate":
-            if not any(m in n.keys().toString() for m in SF_KEY_MARKERS):
-                return True
-        cs = n.children()
-        for i in range(cs.size()):
-            stack.append(cs.apply(i))
-    return False
+# SF_MARKERS / subtree_bounded moved to plans/lint.py (single source of
+# truth shared with bench.py's global-window warning attribution, so
+# the lint and the bench tail can't drift apart); marker semantics are
+# documented there.
+from project_fauna_spark.plans.lint import (
+    GLOBAL_WINDOW_ALLOWED,
+    SF_MARKERS,
+    subtree_bounded,
+)
 
 
 def test_no_forced_broadcast_of_sf_scaling_tables(spark):
@@ -468,7 +446,7 @@ def test_no_global_window_over_sf_scaling_data(spark):
     # alongside as the at-scale shape — see relational.py docstring);
     # the slice references o_orderkey, so the marker heuristic can't
     # see its boundedness.
-    allowed = {"window_ntile"}
+    allowed = GLOBAL_WINDOW_ALLOWED
     offenders = []
     for name, (analyzed, _, _) in _registry_plans(spark).items():
         if name in allowed:
