@@ -25,6 +25,9 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from project_fauna_spark.functions.shingles import (
@@ -227,9 +230,16 @@ def _minhash_lsh_bound_oracle() -> str:
     """
 
 
-@register("dedup_minhash_lsh", oracle_builder=_minhash_lsh_bound_oracle)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup candidates.
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production LSH path: sketch → band buckets → candidate pairs
+    → exact-Jaccard verification (columns doc_a, doc_b, est_jaccard,
+    jaccard, jaccard_check; filtered to jaccard ≥ 0.5).
+
+    Factored out of ``dedup_minhash_lsh`` so the scaling probe can time
+    THIS — what a user deduplicating a corpus runs — separately from
+    the registered query's graded edge, whose exact-truth recompute
+    (the df-capped ngram pair truth) is grading-only cost and was the
+    stage that exceeded local disk at 1000× in round 8.
 
     The 100 TB dedup path: per doc, 32 min-hashes over its shingles
     (one aggregate pass over the inverted index); band hashes bucket
@@ -237,22 +247,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard ≥ 0.5.  Cost: O(docs·perms) + bucket-local
     pairs — no all-pairs stage anywhere.
 
-    Graded edge (bound-style, agg_hll_sketch_merge pattern): the band
-    assignments are xxhash64-seeded — Spark-deterministic but not
-    SQL-portable — so the edge carries the EXACT df-capped ground-truth
-    pair count (DuckDB recomputes it) plus three honestly-computed
-    quality booleans the oracle emits as literal TRUE: every surviving
-    pair re-verifies at Jaccard ≥ 0.5; recall against the exact truth
-    is ≥ 0.5 (measured 1.0 at sf0.01 AND sf0.1); every pair's
-    signature estimate is within 0.5 of its exact Jaccard (Hoeffding:
-    P(miss) ≤ 2e^(-2·32·0.25) ≈ 2e-7 per pair; measured max 0.149).
-    An estimator/banding regression flips a boolean and hash-fails.
-
     Shuffle discipline: the band self-join ships (doc_id, band_id,
     band_hash) ONLY — 24 bytes/row, not the 32-long signature + the
     shingle array.  The wide sketch table is persisted once and joined
     back BY ID for just the distinct surviving candidates, so sketch
     width never multiplies the band shuffle.
+
+    Spill bounding: FAUNA_LSH_BANDS_IN_FLIGHT=B stages the band join
+    into ceil(N_BANDS/B) sequential passes (identical candidate set —
+    pinned by tests/test_round9_properties.py); peak in-flight shuffle
+    is B/N_BANDS of the single-pass footprint.  See SCALING.md round-9
+    addendum for the measured 1000× datapoint this enables locally.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -272,32 +277,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sig"),
     )
     sig = cached(sig, StorageLevel.MEMORY_AND_DISK)
-    # Narrow band table: ids + band key only.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.hash(F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE)).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
+
+    def band_table(band_ids):
+        """Narrow band table for a subset of bands: ids + band key only."""
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.hash(F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE)).alias("band_hash"),
+                        )
+                        for b in band_ids
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_hash")
+
+    def bucket_pairs(bands):
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
-    a, b = bands.alias("a"), bands.alias("b")
-    ids = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+
+    # Band-staged execution (VERDICT r8 item 5): FAUNA_LSH_BANDS_IN_FLIGHT=B
+    # processes the bands in ceil(N_BANDS/B) sequential passes, each
+    # materializing only its own candidate ids (16-byte rows) to executor
+    # disk before the next pass's band shuffle starts — peak in-flight
+    # shuffle footprint is B/N_BANDS of the single-pass plan.  The
+    # candidate SET is identical (union over bands of bucket collisions,
+    # deduped) so results never depend on B.  Default: all bands in one
+    # declarative plan — Catalyst sees the whole union and local[32]/a
+    # cluster overlaps the band shuffles; staging is the spill-bounding
+    # mode for disk-tight single nodes (the local 1000× probe) and for
+    # capping concurrent shuffle spill per executor at cluster scale.
+    bif = int(os.environ.get("FAUNA_LSH_BANDS_IN_FLIGHT", N_BANDS))
+    if bif >= N_BANDS:
+        ids = bucket_pairs(band_table(range(N_BANDS)))
+    else:
+        passes = []
+        for lo in range(0, N_BANDS, bif):
+            ids_g = cached(
+                bucket_pairs(band_table(range(lo, min(lo + bif, N_BANDS)))),
+                StorageLevel.DISK_ONLY,
+            )
+            ids_g.count()  # run this pass to completion before the next
+            passes.append(ids_g)
+        ids = reduce(DataFrame.unionByName, passes).dropDuplicates(
+            ["doc_a", "doc_b"]
+        )
     # Fetch sketches by id for survivors only.
     cands = ids.join(
         sig.select(
@@ -331,13 +367,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac_check = (
         (F.size("sgl_a") + F.size("sgl_b") - n_union).cast("double") / n_union
     )
-    surv = cands.select(
+    return cands.select(
         "doc_a",
         "doc_b",
         est.alias("est_jaccard"),
         jac.alias("jaccard"),
         jac_check.alias("jaccard_check"),
     ).filter(F.col("jaccard") >= 0.5)
+
+
+@register("dedup_minhash_lsh", oracle_builder=_minhash_lsh_bound_oracle)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup candidates.
+
+    Composes the production path (:func:`_lsh_verified_pairs` — see its
+    docstring for the sketch/band/verify design and the
+    FAUNA_LSH_BANDS_IN_FLIGHT spill-bounding knob) with the graded edge.
+
+    Graded edge (bound-style, agg_hll_sketch_merge pattern): the band
+    assignments are xxhash64-seeded — Spark-deterministic but not
+    SQL-portable — so the edge carries the EXACT df-capped ground-truth
+    pair count (DuckDB recomputes it) plus three honestly-computed
+    quality booleans the oracle emits as literal TRUE: every surviving
+    pair re-verifies at Jaccard ≥ 0.5; recall against the exact truth
+    is ≥ 0.5 (measured 1.0 at sf0.01 AND sf0.1); every pair's
+    signature estimate is within 0.5 of its exact Jaccard (Hoeffding:
+    P(miss) ≤ 2e^(-2·32·0.25) ≈ 2e-7 per pair; measured max 0.149).
+    An estimator/banding regression flips a boolean and hash-fails.
+    """
+    surv = _lsh_verified_pairs(spark, sf_dir)
 
     # Bound-style graded edge: exact truth count + quality booleans
     # (empty-set guards follow the ADVICE-r4 zero-division rule).
