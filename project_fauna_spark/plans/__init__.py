@@ -3,9 +3,12 @@
 Importing this package populates the registry from all operator
 modules; ``QUERIES`` / ``ORACLE`` are the driver-facing maps.
 
-Module import order IS registry iteration order (dict insertion), and
-the external driver grades the first 50 entries per round — so imports
-are ordered to rotate not-yet-driver-verified modules into that window.
+The external driver grades the first 50 entries per round.  Registry
+iteration order is module import order (dict insertion) with the
+``plans/window.py`` GRADING_WINDOW front-loaded at the end of this
+file — the round-10+ rotation mechanism (re-grade windows span ~30
+modules; see window.py).  For round 9 the window equals the
+import-order head, so the front-load is a verified no-op.
 
 Round-9 window (this order, exactly 50 entries, ALL first-time names —
 the LAST never-graded backlog; after this round every registered query
@@ -127,5 +130,19 @@ import project_fauna_spark.operators.streaming_batch  # noqa: F401,E402
 from project_fauna_spark.plans.registry import resolve_deferred_oracles  # noqa: E402
 
 resolve_deferred_oracles()
+
+# Front-load the grading window (plans/window.py): from round 10 on the
+# window is a RE-grade list spanning ~30 modules, so registry HEAD order
+# is steered by this explicit list instead of module-move surgery.  For
+# round 9 the list equals the import-order head — a verified no-op.
+from project_fauna_spark.plans.window import GRADING_WINDOW  # noqa: E402
+
+missing = [n for n in GRADING_WINDOW if n not in QUERIES]
+assert not missing, f"GRADING_WINDOW names not registered: {missing}"
+_rest = {n: q for n, q in QUERIES.items() if n not in set(GRADING_WINDOW)}
+_front = {n: QUERIES[n] for n in GRADING_WINDOW}
+QUERIES.clear()
+QUERIES.update(_front)
+QUERIES.update(_rest)
 
 __all__ = ["QUERIES", "ORACLE", "register"]
