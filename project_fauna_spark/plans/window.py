@@ -21,6 +21,10 @@ extras31..extras55) — identical to the import-order head, so for THIS
 round the front-load is a verified no-op on the existing, swept order.
 """
 
+# The checked-in manifest this list must equal (pinned by
+# tests/test_window_manifest.py); rotated together with the list.
+WINDOW_MANIFEST = "WINDOW_r9.txt"
+
 GRADING_WINDOW: tuple[str, ...] = (
     "q_discount_demand_curve",
     "graph_kcore_peel",

@@ -16,14 +16,16 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_first_50_match_manifest():
-    manifest = (REPO / "WINDOW_r9.txt").read_text().split()
+    from project_fauna_spark.plans.window import WINDOW_MANIFEST
+
+    manifest = (REPO / WINDOW_MANIFEST).read_text().split()
     assert len(manifest) == 50, "manifest must hold exactly 50 names"
 
     from project_fauna_spark.plans import QUERIES
 
     window = list(QUERIES)[:50]
     assert window == manifest, (
-        "grading window drifted from WINDOW_r9.txt — if this is a "
+        f"grading window drifted from {WINDOW_MANIFEST} — if this is a "
         "deliberate round-start rotation, regenerate the manifest in the "
         "same commit; otherwise revert the plans/__init__.py or operator-"
         "module change that perturbed registration order.\n"
