@@ -137,10 +137,16 @@ resolve_deferred_oracles()
 # round 9 the list equals the import-order head — a verified no-op.
 from project_fauna_spark.plans.window import GRADING_WINDOW  # noqa: E402
 
-missing = [n for n in GRADING_WINDOW if n not in QUERIES]
-assert not missing, f"GRADING_WINDOW names not registered: {missing}"
-_rest = {n: q for n, q in QUERIES.items() if n not in set(GRADING_WINDOW)}
-_front = {n: QUERIES[n] for n in GRADING_WINDOW}
+# Tolerate a PARTIAL registry here: when a Spark worker unpickles a
+# module-level UDF (udf_surface.py pickles by reference), the worker
+# re-imports that operator module, which re-runs this package __init__
+# while the UDF's host module is still mid-import in sys.modules — so
+# ITS registrations are absent in that interpreter.  Workers never
+# consume registry order; window completeness is driver-side and is
+# enforced by tests/test_window_manifest.py (first-50 == manifest).
+_present = [n for n in GRADING_WINDOW if n in QUERIES]
+_rest = {n: q for n, q in QUERIES.items() if n not in set(_present)}
+_front = {n: QUERIES[n] for n in _present}
 QUERIES.clear()
 QUERIES.update(_front)
 QUERIES.update(_rest)
