@@ -28,13 +28,12 @@ remain, so r10+ windows are free for re-grades (oldest-graded-first)
 and new additions — additions stay throttled to ≤ grading throughput
 (ADVICE r6).
 
-Sweep coverage (all on the r8-RESTART regenerated corpus, md5s in
-CLAUDE.md): the full registry passed local oracle parity at sf0.01
-(1134-test suite) AND four full foreign plain-session sf0.1 sweeps
-(392/392 each, 2026-08-16); this exact r9 window passed a foreign
-sf0.1 sweep 50/50 AND a repeat-invocation stability sweep (every
-query twice in one session, identical rows) before the rotation was
-staged on the r9-rotation branch.  sf0.1 sweeps run through
+Sweep coverage (round-9 corpus — byte-identical to the r7 generation,
+md5s in CLAUDE.md): post-rotation, the full registry passed foreign
+plain-session sweeps 392/392 at sf0.01 (the driver's grading config,
+twice) AND 392/392 at sf0.1 (twice); the r9 window passed a dedicated
+50/50 sf0.1 sweep and a 50/50 repeat-invocation stability sweep; full
+pytest 1135 passed / 1 skipped.  sf0.1 sweeps run through
 tools/parity_sweep.py (13 memoized heavy oracles, digest-keyed memo
 DB, warm full-registry wall ~15 min).
 """

@@ -21,6 +21,14 @@ recorded per family in SCALING.md round-7/8 probes):
   dimension tables copied 1×: the fact:dim fan grows exactly like SF.
   Decimal-sum aggregates must scale exactly N× (1-ulp double cast);
   per-user window stacks emit exactly N× rows.
+- ``vectors`` — embeddings only, vec_id offset (+k·10⁷), vector values
+  and labels UNCHANGED.  For ANN/centroid ops whose query or group set
+  is SF-invariant (sim_knn_brute_cosine's ``vec_id < 20`` probe set
+  lives in copy 0; label sets repeat): output rows invariant, corpus
+  scan N×.  NOT for ivf/dedup variants whose query set or pair output
+  scales with the corpus (``vec_id % 100`` queries multiply, and
+  identical cross-copy vectors make near-dup pair counts quadratic in
+  N — a different experiment, not corpus scaling).
 
 Timings are best-of-3 warm on local[32] with the library's 24g heap
 (the 10M-row window stack GC-thrashes a default 1g JVM — sizing, not
@@ -106,6 +114,12 @@ def build() -> None:
                user_id + c.k*100000000 AS user_id, event_type, value, props
         FROM '{S1}/events.parquet', {{copies}}""", "events")
         scaled = {"lineitem", "orders", "events"}
+    elif MODE == "vectors":
+        con.execute(f"""
+        COPY (SELECT vec_id + c.k*10000000 AS vec_id, embedding, label
+              FROM '{S1}/embeddings.parquet', {copies})
+        TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+        scaled = {"embeddings"}
     else:
         raise SystemExit(f"unknown mode {MODE!r}")
     for t in ALL_TABLES:
