@@ -16,64 +16,68 @@ tests/test_window_manifest.py) — no module moves, no import-order
 surgery, and cross-oracle ``oracle_builder`` composition is untouched
 because it resolves before the reorder.
 
-Round-9 window: the final 50 never-graded names (extras30 tail +
-extras31..extras55) — identical to the import-order head, so for THIS
-round the front-load is a verified no-op on the existing, swept order.
+Round-10 window: the first RE-grade round (every registered query has
+been driver-graded green at least once after r9).  Risk-ranked per
+CLAUDE.md round-10 prep: bound-style boolean oracles (10), deferred-
+builder composed oracles (12), fixture/IO-path queries (10), then the
+stalest r2/r3-era grades with float/timestamp/Arrow edges (18).
+Unlike r9 this front-load REORDERS the registry head — the names span
+~30 modules, which is exactly why this mechanism exists.
 """
 
 # The checked-in manifest this list must equal (pinned by
 # tests/test_window_manifest.py); rotated together with the list.
-WINDOW_MANIFEST = "WINDOW_r9.txt"
+WINDOW_MANIFEST = "WINDOW_r10.txt"
 
 GRADING_WINDOW: tuple[str, ...] = (
-    "q_discount_demand_curve",
-    "graph_kcore_peel",
-    "text_winnowing_fingerprint",
-    "text_tvd_language_drift",
-    "agg_ratio_paradox_discount",
-    "sketch_kmv_distinct",
-    "sample_systematic_stride",
-    "event_growth_accounting",
-    "dq_sequence_gap_audit",
-    "ingest_fixed_width_parse",
-    "event_velocity_burst",
-    "ml_first_order_ltv_corr",
-    "text_langid_confusion",
-    "sim_metric_rank_agreement",
-    "graph_reciprocity",
-    "sim_hard_negative_mining",
-    "dq_embedding_norm_audit",
-    "event_mix_shift_tvd",
-    "ts_stream_gap_audit",
-    "ts_theil_sen_trend",
-    "q_unit_price_dispersion",
-    "mm_signal_features",
-    "udf_grouped_agg_median",
-    "event_time_decay_attribution",
-    "cdc_snapshot_diff",
-    "llm_fim_split_plan",
-    "event_streak_histogram",
-    "llm_token_budget_apportion",
-    "graph_degree_assortativity",
-    "q_price_volume_mix",
-    "dq_effective_categories",
-    "text_vocab_coverage_curve",
-    "ts_period_scan",
-    "dq_numeric_corr_matrix",
-    "sim_centroid_drift_halves",
-    "dedup_boilerplate_ngrams",
-    "mm_byte_uniformity_audit",
-    "text_hapax_rate",
-    "dedup_component_size_histogram",
-    "ml_group_aware_split",
-    "q_brand_return_rate",
-    "sample_estimate_accuracy",
-    "event_habit_hour",
-    "q_growth_contribution_by_segment",
-    "q_top_customer_churn",
-    "dedup_incremental_new_batch",
-    "llm_importance_resampling",
-    "stream_dedup_suppress_repeats",
-    "scalar_higher_order_fns",
-    "dedup_component_representative",
+    "semi_percentile_approx",
+    "agg_hll_sketch_merge",
+    "dedup_minhash_lsh",
+    "dedup_simhash64",
+    "text_hashed_tf",
+    "agg_approx_count_distinct",
+    "ml_tfidf_pipeline",
+    "ml_minhash_lsh",
+    "ml_brp_lsh_neighbors",
+    "agg_approx_percentile_bound",
+    "dedup_minhash_recall_audit",
+    "dedup_threshold_sweep",
+    "join_bloom_semi_prefilter",
+    "llm_classifier_calibration",
+    "llm_dedup_impact_on_mixture",
+    "llm_dedup_token_savings",
+    "llm_near_dup_rate_by_source",
+    "ml_ndcg_eval",
+    "ml_pca_covariance",
+    "sim_ivf_nprobe_sweep",
+    "sim_ivf_pq_search",
+    "sim_pq_adc",
+    "etl_paginated_scan",
+    "etl_fetch_transform",
+    "etl_batch_post",
+    "ingest_jsonlines_roundtrip",
+    "ingest_csv_roundtrip",
+    "ingest_from_json_struct",
+    "ingest_xml_roundtrip",
+    "ingest_orc_roundtrip",
+    "ingest_schema_evolution",
+    "ingest_partitioned_pruning",
+    "agg_pricing_summary",
+    "agg_variance_stats",
+    "agg_multi_distinct",
+    "window_distribution",
+    "window_running_sum",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "stream_watermark_late_drop",
+    "scalar_date_fns",
+    "ref_epoch_normalize",
+    "ref_validate_iso",
+    "join_asof_latest_order",
+    "join_asof_tolerance",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "udf_cogroup",
+    "udf_explode_generator",
 )
