@@ -144,10 +144,22 @@ def attribute_global_windows(spark) -> bool:
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        total, unbounded = global_windows(
-            QUERIES[name](spark, SF_DIR)._jdf.queryExecution().analyzed()
-        )
-        release_cached()
+        # A query that fails at plan-construction time (regenerated-corpus
+        # schema change, missing /tmp fixture) already recorded -1 in the
+        # timing loop — skip its attribution rather than losing the whole
+        # headline JSON line (ADVICE r9).
+        try:
+            total, unbounded = global_windows(
+                QUERIES[name](spark, SF_DIR)._jdf.queryExecution().analyzed()
+            )
+        except Exception as exc:  # noqa: BLE001 — mirror the timing loop
+            print(
+                f"bench: window attribution skipped for {name}: {exc}",
+                file=sys.stderr,
+            )
+            continue
+        finally:
+            release_cached()
         if total:
             attributed[name] = total
         if unbounded and name not in GLOBAL_WINDOW_ALLOWED:

@@ -26,6 +26,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import os
+import warnings
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
@@ -319,7 +320,19 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster overlaps the band shuffles; staging is the spill-bounding
     # mode for disk-tight single nodes (the local 1000× probe) and for
     # capping concurrent shuffle spill per executor at cluster scale.
-    bif = int(os.environ.get("FAUNA_LSH_BANDS_IN_FLIGHT", N_BANDS))
+    # Validate/clamp the knob (ADVICE r9): non-integer → warn + single-pass
+    # fallback; values < 1 clamp to 1 (0 would be a zero range-step, a
+    # negative an empty passes list → confusing tracebacks mid-query).
+    _bif_raw = os.environ.get("FAUNA_LSH_BANDS_IN_FLIGHT", str(N_BANDS))
+    try:
+        bif = max(1, int(_bif_raw))
+    except ValueError:
+        warnings.warn(
+            f"FAUNA_LSH_BANDS_IN_FLIGHT={_bif_raw!r} is not an integer; "
+            "falling back to single-pass execution",
+            stacklevel=2,
+        )
+        bif = N_BANDS
     if bif >= N_BANDS:
         ids = bucket_pairs(band_table(range(N_BANDS)))
     else:

@@ -379,6 +379,7 @@ def test_phash_and_signal_use_arrow_not_rowwise(spark):
 from project_fauna_spark.plans.lint import (
     GLOBAL_WINDOW_ALLOWED,
     SF_MARKERS,
+    global_windows,
     subtree_bounded,
 )
 
@@ -446,26 +447,17 @@ def test_no_global_window_over_sf_scaling_data(spark):
     # alongside as the at-scale shape — see relational.py docstring);
     # the slice references o_orderkey, so the marker heuristic can't
     # see its boundedness.
+    # Single walk: plans.lint.global_windows IS the detection logic,
+    # shared verbatim with bench.py's warning attribution (ADVICE r9) —
+    # this test only applies it registry-wide and asserts zero offenders.
     allowed = GLOBAL_WINDOW_ALLOWED
     offenders = []
     for name, (analyzed, _, _) in _registry_plans(spark).items():
         if name in allowed:
             continue
-        stack = [analyzed]
-        while stack:
-            node = stack.pop()
-            if (
-                node.getClass().getSimpleName() == "Window"
-                and node.partitionSpec().isEmpty()
-            ):
-                sub = node.child().toString()
-                if any(m in sub for m in SF_MARKERS) and not subtree_bounded(
-                    node.child()
-                ):
-                    offenders.append(name)
-            cs = node.children()
-            for i in range(cs.size()):
-                stack.append(cs.apply(i))
+        _, unbounded = global_windows(analyzed)
+        if unbounded:
+            offenders.append(name)
     assert sorted(set(offenders)) == [], sorted(set(offenders))
 
 
