@@ -29,6 +29,18 @@ recorded per family in SCALING.md round-7/8 probes):
   scales with the corpus (``vec_id % 100`` queries multiply, and
   identical cross-copy vectors make near-dup pair counts quadratic in
   N — a different experiment, not corpus scaling).
+- ``vectors_repl`` — the query-set-invariant replication the plain
+  ``vectors`` mode scoped out (VERDICT r9 item 5).  Copy 0 is verbatim;
+  copy k>0 gets vec_id → k·10⁷ + 2·vec_id + 1 (odd, so never ≡ 0 mod
+  the even IVF query moduli 50/100 — the ``vec_id % m = 0`` probe sets
+  stay PINNED to copy 0) and label → label + k·1000 (disjoint label
+  spaces per copy, so label-blocked near-dup pairs can never cross
+  copies — identical cross-copy vectors would otherwise go quadratic).
+  Vector VALUES are unchanged everywhere.  Structure: IVF search
+  (sim_ann_ivf, sim_ivf_pq_search) emits top-k per pinned query →
+  ``=invariant`` while candidates-per-query grow N×; label-blocked
+  dedup (dedup_embedding_cosine) has per-copy-identical pair structure
+  → ``=exactN``.
 
 Timings are best-of-3 warm on local[32] with the library's 24g heap
 (the 10M-row window stack GC-thrashes a default 1g JVM — sizing, not
@@ -119,6 +131,14 @@ def build() -> None:
         COPY (SELECT vec_id + c.k*10000000 AS vec_id, embedding, label
               FROM '{S1}/embeddings.parquet', {copies})
         TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+        scaled = {"embeddings"}
+    elif MODE == "vectors_repl":
+        _chunked_copy(con, f"""
+        SELECT CASE WHEN c.k = 0 THEN vec_id
+                    ELSE c.k*10000000 + 2*vec_id + 1 END AS vec_id,
+               embedding,
+               CAST(label + c.k*1000 AS INTEGER) AS label
+        FROM '{S1}/embeddings.parquet', {{copies}}""", "embeddings")
         scaled = {"embeddings"}
     else:
         raise SystemExit(f"unknown mode {MODE!r}")
