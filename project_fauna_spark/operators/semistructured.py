@@ -194,28 +194,50 @@ def semi_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact quantiles of 100 TB need a full sort.
 
     The raw estimates are engine-specific, so the graded edge carries
-    deterministic BOUND assertions instead: approx_percentile(q,
-    accuracy=10⁴) guarantees rank error ≤ N/10⁴, so each estimate must
-    lie between the exact q∓10⁻³ quantiles (10× slack).  The oracle's
-    literal TRUEs turn any estimator regression into a hash mismatch —
-    same pattern as ``agg_approx_count_distinct``.
+    deterministic BOUND assertions instead, checked in RANK space:
+    approx_percentile(q, accuracy=10⁴) guarantees the returned
+    element's rank lies within N/10⁴ of q·N, so the estimate's rank
+    interval [#(value < est)+1, #(value ≤ est)] must intersect
+    q·N ∓ (N/10⁴ + 2) (the +2 absorbs floor/ceil and N-vs-N−1 rank
+    conventions).  Rank-space is the honest spelling at every N — the
+    previous value-space bound (estimate between the exact q∓10⁻³
+    quantiles) silently assumed the order-statistic gap < 10⁻³ in
+    quantile space, which fails below N ≈ 2·10³ (found by the r10
+    full-registry sf0.001 sweep: 7 of 15 booleans false on ~200-row
+    groups with a correct estimator).  It also needed exact
+    percentiles — the full per-group sort this query exists to avoid;
+    the rank check is a broadcast join of the 5-row estimate table
+    back over events + map-combinable conditional counts.  The
+    oracle's literal TRUEs turn any estimator regression into a hash
+    mismatch — same pattern as ``agg_approx_count_distinct``.
     """
     e = load_table(spark, sf_dir, "events")
     qs = [0.5, 0.95, 0.99]
-    delta = 1e-3
-    agg = e.groupBy("event_type").agg(
+    ests = e.groupBy("event_type").agg(
         F.percentile_approx("value", qs, 10000).alias("_p"),
-        F.percentile("value", F.array(*[F.lit(max(q - delta, 0.0)) for q in qs])).alias("_lo"),
-        F.percentile("value", F.array(*[F.lit(min(q + delta, 1.0)) for q in qs])).alias("_hi"),
         F.count("*").alias("n_values"),
     )
-    return agg.select(
+    j = e.select("event_type", "value").join(F.broadcast(ests), "event_type")
+    counts = j.groupBy("event_type").agg(
+        *[
+            F.sum((F.col("value") < F.col("_p")[i]).cast("long")).alias(f"_lt{i}")
+            for i in range(len(qs))
+        ],
+        *[
+            F.sum((F.col("value") <= F.col("_p")[i]).cast("long")).alias(f"_le{i}")
+            for i in range(len(qs))
+        ],
+    )
+    n = F.col("n_values").cast("double")
+    err = n / F.lit(10000.0) + F.lit(2.0)
+    return ests.join(counts, "event_type").select(
         "event_type",
         "n_values",
         *[
-            ((F.col("_p")[i] >= F.col("_lo")[i]) & (F.col("_p")[i] <= F.col("_hi")[i])).alias(
-                f"p{int(q * 100)}_in_bounds"
-            )
+            (
+                ((F.col(f"_lt{i}") + F.lit(1)).cast("double") <= q * n + err)
+                & (F.col(f"_le{i}").cast("double") >= q * n - err)
+            ).alias(f"p{int(q * 100)}_in_bounds")
             for i, q in enumerate(qs)
         ],
     )
