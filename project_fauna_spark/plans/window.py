@@ -16,68 +16,67 @@ tests/test_window_manifest.py) — no module moves, no import-order
 surgery, and cross-oracle ``oracle_builder`` composition is untouched
 because it resolves before the reorder.
 
-Round-10 window: the first RE-grade round (every registered query has
-been driver-graded green at least once after r9).  Risk-ranked per
-CLAUDE.md round-10 prep: bound-style boolean oracles (10), deferred-
-builder composed oracles (12), fixture/IO-path queries (10), then the
-stalest r2/r3-era grades with float/timestamp/Arrow edges (18).
-Unlike r9 this front-load REORDERS the registry head — the names span
-~30 modules, which is exactly why this mechanism exists.
+Round-11 window: the second re-grade round.  Risk-ranked per
+CLAUDE.md round-11 prep: the 12 stalest float/composed r3-era grades
+first (dedup_ngram_jaccard is the spliced truth oracle — grading it
+fresh re-validates every memo splice site), then all 38 surviving
+r2-era seats (join/set/window/scalar batteries — exact-typed, low
+moving parts, but 8 rounds stale).
 """
 
 # The checked-in manifest this list must equal (pinned by
 # tests/test_window_manifest.py); rotated together with the list.
-WINDOW_MANIFEST = "WINDOW_r10.txt"
+WINDOW_MANIFEST = "WINDOW_r11.txt"
 
 GRADING_WINDOW: tuple[str, ...] = (
-    "semi_percentile_approx",
-    "agg_hll_sketch_merge",
-    "dedup_minhash_lsh",
-    "dedup_simhash64",
-    "text_hashed_tf",
-    "agg_approx_count_distinct",
-    "ml_tfidf_pipeline",
-    "ml_minhash_lsh",
-    "ml_brp_lsh_neighbors",
-    "agg_approx_percentile_bound",
-    "dedup_minhash_recall_audit",
-    "dedup_threshold_sweep",
-    "join_bloom_semi_prefilter",
-    "llm_classifier_calibration",
-    "llm_dedup_impact_on_mixture",
-    "llm_dedup_token_savings",
-    "llm_near_dup_rate_by_source",
-    "ml_ndcg_eval",
-    "ml_pca_covariance",
-    "sim_ivf_nprobe_sweep",
-    "sim_ivf_pq_search",
-    "sim_pq_adc",
-    "etl_paginated_scan",
-    "etl_fetch_transform",
-    "etl_batch_post",
-    "ingest_jsonlines_roundtrip",
-    "ingest_csv_roundtrip",
-    "ingest_from_json_struct",
-    "ingest_xml_roundtrip",
-    "ingest_orc_roundtrip",
-    "ingest_schema_evolution",
-    "ingest_partitioned_pruning",
-    "agg_pricing_summary",
-    "agg_variance_stats",
-    "agg_multi_distinct",
-    "window_distribution",
-    "window_running_sum",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "stream_watermark_late_drop",
-    "scalar_date_fns",
-    "ref_epoch_normalize",
-    "ref_validate_iso",
-    "join_asof_latest_order",
-    "join_asof_tolerance",
-    "udf_pandas_scalar",
-    "udf_grouped_map",
-    "udf_cogroup",
-    "udf_explode_generator",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+    "dedup_containment",
+    "sim_knn_brute_cosine",
+    "sim_ann_lsh_bucketed",
+    "sim_label_centroid",
+    "sim_radius_search",
+    "sim_quantize_int8",
+    "text_tfidf_topk",
+    "text_fuzzy_match_levenshtein",
+    "llm_gopher_repetition",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "join_broadcast_chain",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_equi",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_range_band",
+    "join_right_outer",
+    "join_theta_quantity_over_size",
+    "ref_animals_transform",
+    "ref_batch_chunks",
+    "ref_split_friends",
+    "scalar_array_fns",
+    "scalar_bit_fns",
+    "scalar_conditional_fns",
+    "scalar_json_fns",
+    "scalar_math_fns",
+    "scalar_regex_fns",
+    "scalar_string_fns",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_limit_global",
+    "topk_per_group",
+    "window_first_last_nth",
+    "window_lag_lead",
+    "window_ntile",
+    "window_range_frame",
+    "window_rank",
 )
