@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -184,7 +185,7 @@ def semi_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semi_percentile_approx",
     oracle="""
-    SELECT event_type, COUNT(*) AS n_values,
+    SELECT event_type, COUNT(value) AS n_values,
            TRUE AS p50_in_bounds, TRUE AS p95_in_bounds, TRUE AS p99_in_bounds
     FROM events GROUP BY event_type
     """,
@@ -213,9 +214,17 @@ def semi_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     qs = [0.5, 0.95, 0.99]
-    ests = e.groupBy("event_type").agg(
-        F.percentile_approx("value", qs, 10000).alias("_p"),
-        F.count("*").alias("n_values"),
+    # count('value') (non-null), NOT count('*'): the rank counts and the
+    # sketch both ignore NULLs, so q·N must live in non-null space too
+    # (ADVICE r10 — latent until a corpus generation has NULL values).
+    # cached(): ests feeds both the broadcast rank-count join and the
+    # final join; without a persist the events scan + sketch agg run
+    # twice per invocation (ADVICE r10).
+    ests = cached(
+        e.groupBy("event_type").agg(
+            F.percentile_approx("value", qs, 10000).alias("_p"),
+            F.count("value").alias("n_values"),
+        )
     )
     j = e.select("event_type", "value").join(F.broadcast(ests), "event_type")
     counts = j.groupBy("event_type").agg(

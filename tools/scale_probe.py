@@ -133,6 +133,21 @@ def build() -> None:
         TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
         scaled = {"embeddings"}
     elif MODE == "vectors_repl":
+        # The id/label remapping below is only collision-free when
+        # 2*max(vec_id)+1 stays under the per-copy 10^7 id stride and
+        # max(label) under the per-copy 1000 label stride; a larger
+        # regenerated corpus would silently create cross-copy vec_id
+        # collisions / overlapping label spaces and invalidate every
+        # =invariant/=exactN structure claim (ADVICE r10).
+        max_vid, max_lbl = con.execute(
+            f"SELECT max(vec_id), max(label) FROM '{S1}/embeddings.parquet'"
+        ).fetchone()
+        if 2 * max_vid + 1 >= 10_000_000 or max_lbl >= 1000:
+            raise SystemExit(
+                f"vectors_repl preconditions violated: max(vec_id)={max_vid} "
+                f"(need 2*max+1 < 1e7), max(label)={max_lbl} (need < 1000) — "
+                "raise the copy strides before trusting structure checks"
+            )
         _chunked_copy(con, f"""
         SELECT CASE WHEN c.k = 0 THEN vec_id
                     ELSE c.k*10000000 + 2*vec_id + 1 END AS vec_id,
