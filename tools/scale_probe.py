@@ -60,7 +60,21 @@ MODE = sys.argv[1]
 N = int(sys.argv[2])
 NAMES = sys.argv[3:]
 S1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = f"/tmp/scale_probe_{MODE}_{N}x"
+
+# Key the replica dir on the SOURCE corpus fingerprint: the driver
+# regenerates /root/testdata between (and within) rounds, and a
+# .complete replica built from the previous generation would silently
+# serve N× numbers incomparable with the fresh 1× run (the same stale-
+# path-keyed-cache class the session checklist purges — found live at
+# r11 start: relational/vectors_repl replicas predating the
+# regeneration).  size+mtime is enough — regeneration rewrites files.
+import hashlib
+
+_fp = hashlib.md5()
+for _t in sorted(os.listdir(S1)):
+    _st = os.stat(os.path.join(S1, _t))
+    _fp.update(f"{_t}:{_st.st_size}:{_st.st_mtime_ns};".encode())
+OUT = f"/tmp/scale_probe_{MODE}_{N}x_{_fp.hexdigest()[:8]}"
 
 import duckdb
 
