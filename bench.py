@@ -181,6 +181,15 @@ def attribute_global_windows(spark) -> bool:
 
 
 def main() -> None:
+    # Machine-load breadcrumb for band adjudication (stderr, so the
+    # stdout JSON contract is untouched): BASELINE.md's discard rules
+    # — uniform slowdown at load>10, or non-uniform excursions that
+    # vanish on re-run — both need the load at bench time to apply.
+    la = os.getloadavg()
+    print(
+        f"bench: loadavg at start 1m={la[0]:.2f} 5m={la[1]:.2f} 15m={la[2]:.2f}",
+        file=sys.stderr,
+    )
     spark = get_spark(app_name="fauna-bench")
     timings: dict[str, float] = {}
     for name in HEADLINE:
