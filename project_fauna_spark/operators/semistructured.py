@@ -227,13 +227,20 @@ def semi_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = e.select("event_type", "value").join(F.broadcast(ests), "event_type")
+    # coalesce(sum, 0): an all-NULL group makes every (value < NULL)
+    # comparison NULL, so the sums come back NULL, not 0 (ADVICE r11 —
+    # the oracle still emits TRUE with n_values=0 for such a group).
     counts = j.groupBy("event_type").agg(
         *[
-            F.sum((F.col("value") < F.col("_p")[i]).cast("long")).alias(f"_lt{i}")
+            F.coalesce(
+                F.sum((F.col("value") < F.col("_p")[i]).cast("long")), F.lit(0)
+            ).alias(f"_lt{i}")
             for i in range(len(qs))
         ],
         *[
-            F.sum((F.col("value") <= F.col("_p")[i]).cast("long")).alias(f"_le{i}")
+            F.coalesce(
+                F.sum((F.col("value") <= F.col("_p")[i]).cast("long")), F.lit(0)
+            ).alias(f"_le{i}")
             for i in range(len(qs))
         ],
     )
@@ -243,10 +250,15 @@ def semi_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_values",
         *[
-            (
+            # n_values == 0 → the rank bound is vacuous (there is no
+            # estimate to check): short-circuit to TRUE, matching the
+            # oracle's literal TRUE for a group with no non-null values.
+            F.when(F.col("n_values") == 0, F.lit(True))
+            .otherwise(
                 ((F.col(f"_lt{i}") + F.lit(1)).cast("double") <= q * n + err)
                 & (F.col(f"_le{i}").cast("double") >= q * n - err)
-            ).alias(f"p{int(q * 100)}_in_bounds")
+            )
+            .alias(f"p{int(q * 100)}_in_bounds")
             for i, q in enumerate(qs)
         ],
     )
