@@ -16,67 +16,68 @@ tests/test_window_manifest.py) — no module moves, no import-order
 surgery, and cross-oracle ``oracle_builder`` composition is untouched
 because it resolves before the reorder.
 
-Round-11 window: the second re-grade round.  Risk-ranked per
-CLAUDE.md round-11 prep: the 12 stalest float/composed r3-era grades
-first (dedup_ngram_jaccard is the spliced truth oracle — grading it
-fresh re-validates every memo splice site), then all 38 surviving
-r2-era seats (join/set/window/scalar batteries — exact-typed, low
-moving parts, but 8 rounds stale).
+Round-12 window: the third re-grade round — the 48 r4-era grades (the
+largest staleness block, including the df-cap-era dedup/sim candidate
+queries whose semantics two consecutive embeddings re-seeds could
+perturb) plus the two riskiest r3 leftovers (llm_corpus_clean is a
+memoized heavy oracle — grading it fresh re-validates its memo build;
+text_quality_score is the float-scoring edge).  Risk ranking in
+CLAUDE.md round-12 prep.
 """
 
 # The checked-in manifest this list must equal (pinned by
 # tests/test_window_manifest.py); rotated together with the list.
-WINDOW_MANIFEST = "WINDOW_r11.txt"
+WINDOW_MANIFEST = "WINDOW_r12.txt"
 
 GRADING_WINDOW: tuple[str, ...] = (
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_connected_components",
-    "dedup_containment",
-    "sim_knn_brute_cosine",
-    "sim_ann_lsh_bucketed",
-    "sim_label_centroid",
-    "sim_radius_search",
-    "sim_quantize_int8",
-    "text_tfidf_topk",
-    "text_fuzzy_match_levenshtein",
-    "llm_gopher_repetition",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_rollup",
-    "join_broadcast_chain",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_equi",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_range_band",
-    "join_right_outer",
-    "join_theta_quantity_over_size",
-    "ref_animals_transform",
-    "ref_batch_chunks",
-    "ref_split_friends",
-    "scalar_array_fns",
-    "scalar_bit_fns",
-    "scalar_conditional_fns",
-    "scalar_json_fns",
-    "scalar_math_fns",
-    "scalar_regex_fns",
-    "scalar_string_fns",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_limit_global",
-    "topk_per_group",
-    "window_first_last_nth",
-    "window_lag_lead",
-    "window_ntile",
-    "window_range_frame",
-    "window_rank",
+    "dedup_cross_modal_agreement",
+    "dedup_exact_substring",
+    "dedup_minhash_md5",
+    "dedup_semantic_ivf",
+    "sim_ann_ivf",
+    "sim_ann_recall_audit",
+    "sim_mmr_diversified",
+    "llm_corpus_clean",
+    "text_quality_score",
+    "llm_bigram_likelihood",
+    "llm_bpe_encode_corpus",
+    "llm_bpe_pair_counts",
+    "llm_bpe_train_merges",
+    "llm_ccnet_buckets",
+    "llm_e2e_dataset_build",
+    "llm_mixture_temperature",
+    "llm_oov_rate",
+    "llm_pack_shards",
+    "llm_quality_classifier",
+    "llm_sample_temperature_mix",
+    "ml_knn_classify_eval",
+    "ml_standardize_audit",
+    "mm_binary_meta",
+    "mm_chunk_manifest",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_integrity_rollup",
+    "text_bigram_cond_prob",
+    "text_doc_keywords",
+    "ts_daily_anomaly",
+    "ts_seasonal_naive_backtest",
+    "dq_benford_first_digit",
+    "dq_completeness_by_day",
+    "dq_freshness_lag",
+    "dq_k_anonymity",
+    "dq_key_skew_profile",
+    "dq_uniqueness_audit",
+    "event_concurrency_gauge",
+    "event_interarrival_stats",
+    "event_new_vs_returning",
+    "event_position_attribution",
+    "join_temporal_scd2",
+    "link_blocked_records",
+    "mv_incremental_merge",
+    "q_abc_pareto_classification",
+    "q_market_basket_lift",
+    "q_semi_additive_snapshot",
+    "sql_group_by_all",
+    "window_percent_of_total",
+    "agg_percentile_exact",
 )
