@@ -69,6 +69,7 @@ import project_fauna_spark.operators.extras53  # noqa: F401,E402
 import project_fauna_spark.operators.extras54  # noqa: F401,E402  # (relocated never-graded strays)
 import project_fauna_spark.operators.extras55  # noqa: F401,E402  # (the one r8 addition)
 import project_fauna_spark.operators.extras56  # noqa: F401,E402  # (the two r11 additions)
+import project_fauna_spark.operators.extras57  # noqa: F401,E402  # (the two r12 additions)
 # --- driver-green in rounds 1-8: back of the rotation ---
 import project_fauna_spark.operators.semistructured  # noqa: F401,E402
 import project_fauna_spark.operators.modern_sql  # noqa: F401,E402

@@ -186,3 +186,42 @@ def test_psi_approx_edges_knob_validation(spark, monkeypatch):
             _release()
     assert got == exact
     assert any("FAUNA_PSI_APPROX_EDGES" in str(w.message) for w in caught)
+
+
+def _plan_of(spark, name):
+    import io as _io
+    from contextlib import redirect_stdout
+
+    df = QUERIES[name](spark, SF_SMOKE)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_char_entropy_is_map_only(spark):
+    """text_char_entropy is a pure projection: zero shuffles, zero
+    joins, no Python — one codegen'd pass over the text column."""
+    plan = _plan_of(spark, "text_char_entropy")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_calibration_ece_plan_shape(spark):
+    """ml_calibration_ece: map-combined partial aggregate over the
+    bins, broadcast-only joins for the two 1-row scalars, no Python."""
+    plan = _plan_of(spark, "ml_calibration_ece")
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan  # 1-row sides broadcast
+
+
+def test_round12_additions_repeat_invocation_stable(spark):
+    """Same query object invoked twice must return identical typed
+    rows (the standing battery's stability bar, applied to the two
+    r12 additions at the suite's SF)."""
+    for name in ("text_char_entropy", "ml_calibration_ece"):
+        a = _typed([tuple(r) for r in QUERIES[name](spark, SF_SMOKE).collect()])
+        b = _typed([tuple(r) for r in QUERIES[name](spark, SF_SMOKE).collect()])
+        assert a == b, name
