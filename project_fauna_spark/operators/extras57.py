@@ -131,11 +131,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CAL_SALT = "cal:"
-_CAL_POS_SHIFT = 200  # positives get +0.2 confidence: a correlated, not
-
-
-# oracle-perfect, synthetic classifier — bins 0-1 are pure negatives,
-# 8-9 pure positives, the middle mixes.
+# Positives get +0.2 confidence: a correlated, not oracle-perfect,
+# synthetic classifier — bins 0-1 are pure negatives, 8-9 pure
+# positives, the middle mixes.
+_CAL_POS_SHIFT = 200
 
 
 @register(
