@@ -16,68 +16,68 @@ tests/test_window_manifest.py) — no module moves, no import-order
 surgery, and cross-oracle ``oracle_builder`` composition is untouched
 because it resolves before the reorder.
 
-Round-12 window: the third re-grade round — the 48 r4-era grades (the
-largest staleness block, including the df-cap-era dedup/sim candidate
-queries whose semantics two consecutive embeddings re-seeds could
-perturb) plus the two riskiest r3 leftovers (llm_corpus_clean is a
-memoized heavy oracle — grading it fresh re-validates its memo build;
-text_quality_score is the float-scoring edge).  Risk ranking in
-CLAUDE.md round-12 prep.
+Round-13 window: the fourth re-grade round — the 16 remaining r3-era
+grades plus 32 of the 45 r5-era names (dedup/sim/text families first
+per the CLAUDE.md risk ranking), plus the two round-11 additions
+(dq_psi_drift, sample_pps_systematic — the only registry names with
+no driver grade ever; VERDICT r11 item 3 seats them here, displacing
+the exact-typed scalar_url_fns + dq_props_key_profile to the r14
+pool).  Risk ranking in CLAUDE.md round-13 prep.
 """
 
 # The checked-in manifest this list must equal (pinned by
 # tests/test_window_manifest.py); rotated together with the list.
-WINDOW_MANIFEST = "WINDOW_r12.txt"
+WINDOW_MANIFEST = "WINDOW_r13.txt"
 
 GRADING_WINDOW: tuple[str, ...] = (
-    "dedup_cross_modal_agreement",
-    "dedup_exact_substring",
-    "dedup_minhash_md5",
-    "dedup_semantic_ivf",
-    "sim_ann_ivf",
-    "sim_ann_recall_audit",
-    "sim_mmr_diversified",
-    "llm_corpus_clean",
-    "text_quality_score",
-    "llm_bigram_likelihood",
-    "llm_bpe_encode_corpus",
-    "llm_bpe_pair_counts",
-    "llm_bpe_train_merges",
-    "llm_ccnet_buckets",
-    "llm_e2e_dataset_build",
-    "llm_mixture_temperature",
-    "llm_oov_rate",
-    "llm_pack_shards",
-    "llm_quality_classifier",
-    "llm_sample_temperature_mix",
-    "ml_knn_classify_eval",
-    "ml_standardize_audit",
-    "mm_binary_meta",
-    "mm_chunk_manifest",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_integrity_rollup",
-    "text_bigram_cond_prob",
-    "text_doc_keywords",
-    "ts_daily_anomaly",
-    "ts_seasonal_naive_backtest",
-    "dq_benford_first_digit",
-    "dq_completeness_by_day",
-    "dq_freshness_lag",
-    "dq_k_anonymity",
-    "dq_key_skew_profile",
-    "dq_uniqueness_audit",
-    "event_concurrency_gauge",
-    "event_interarrival_stats",
-    "event_new_vs_returning",
-    "event_position_attribution",
-    "join_temporal_scd2",
-    "link_blocked_records",
-    "mv_incremental_merge",
-    "q_abc_pareto_classification",
-    "q_market_basket_lift",
-    "q_semi_additive_snapshot",
-    "sql_group_by_all",
-    "window_percent_of_total",
-    "agg_percentile_exact",
+    "dedup_cluster_representative",
+    "dedup_exact_blocked",
+    "dedup_exact_text",
+    "dedup_incremental_base_vs_new",
+    "dedup_simhash_md5",
+    "sim_centroid_confusion",
+    "text_fingerprint",
+    "text_langid_ngram",
+    "text_ngram_freq",
+    "text_normalized_collisions",
+    "text_token_stats",
+    "llm_balance_lang_mix",
+    "llm_blocklist_filter",
+    "llm_chunk_documents",
+    "llm_contamination_overlap",
+    "llm_dataset_manifest",
+    "llm_decontaminate",
+    "llm_dedup_survivorship_report",
+    "llm_gap_fill_forward",
+    "llm_packing_efficiency",
+    "llm_pii_scrub",
+    "llm_seq_len_histogram",
+    "llm_train_val_split",
+    "llm_vocab_topk",
+    "sketch_cms_heavy_hitters",
+    "ml_training_snapshot_asof",
+    "graph_degree_distribution",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "event_cohort_ltv",
+    "event_error_follows_purchase",
+    "event_funnel_stages",
+    "event_last_touch_attribution",
+    "event_path_to_purchase",
+    "event_retention_cohort",
+    "event_rfm_segmentation",
+    "event_sessionize_lag_cumsum",
+    "event_type_transitions",
+    "event_view_abandonment",
+    "ts_ewma_bounded",
+    "window_gaps_islands",
+    "window_moving_corr",
+    "join_asof_nearest",
+    "dq_fact_consistency_audit",
+    "dq_functional_dependencies",
+    "dq_outlier_mad",
+    "sample_pps_systematic",
+    "q_percentile_bands_daily",
+    "agg_gini_concentration",
+    "dq_psi_drift",
 )
