@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.operators._oracle_shared import sql_token_grams_cte
 from project_fauna_spark.operators._oracle_shared import _IVF_K, _ivf_centroid
@@ -75,15 +76,38 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-join, not explode-on-hot-key).
     """
     d = load_table(spark, sf_dir, "documents")
-    g = d.select("doc_id", F.explode(_token_grams(F.col("text"))).alias("gram"))
-    c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
-    dup = F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("long")
-    return (
-        g.join(c, "gram")
+    grams = _token_grams(F.col("text"))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    # r12 restructure (results identical; see OPTIMIZATION_r12.md):
+    # * n_grams == size(token_grams) — a narrow map, so the per-doc
+    #   total never rides the gram join at all (docs with zero grams
+    #   are filtered exactly as the explode dropped them before).
+    # * the join-back attaches only the DUPLICATED grams (cnt >= 2):
+    #   every other gram contributed 0 to n_dup_grams, so an inner
+    #   join against the dup subset + coalesce(0) on the left join is
+    #   value-identical — and the broadcast/build side shrinks from
+    #   the whole gram vocabulary to its duplicated sliver (guide
+    #   §2.3/§3.2: shrink the side you attach, pre-filter the probe).
+    per_doc = d.select(
+        "doc_id", F.size(grams).cast("long").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    dup_counts = (
+        g.join(dup_grams, "gram")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            dup.alias("n_dup_grams"),
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        per_doc.join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
         )
         .withColumn(
             "dup_share", F.col("n_dup_grams").cast("double") / F.col("n_grams")
@@ -110,7 +134,13 @@ def _grouped_ntile(
         "_pid", F.spark_partition_id()
     )
     w_local = W.partitionBy("_pid", group).orderBy(*order_cols)
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    # `local` feeds TWO branches (the (partition × group) count grid and
+    # the final rank join): persist it so the input plan — for
+    # llm_ccnet_buckets the full explode→join→aggregate scoring pipeline
+    # — and the range shuffle + rank window execute once, not per branch
+    # (r12; guide §5 persist-on-reuse).  One pin covers everything
+    # upstream; release_cached() drops it between invocations.
+    local = cached(ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long")))
     counts = local.groupBy("_pid", group).agg(F.count(F.lit(1)).alias("_c"))
     prior = counts.select(
         F.col("_pid").alias("_pid2"), F.col(group).alias("_g2"), F.col("_c").alias("_c2")
@@ -181,7 +211,11 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
     wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    t = w.agg(F.count(F.lit(1)).alias("n"))
+    # Corpus word total from the vocabulary aggregate, NOT a third full
+    # pass over the exploded words (r12): Σ per-word counts == COUNT(*)
+    # of w exactly (int64), so `n` is bit-identical while the plan
+    # drops one whole explode+filter subtree (guide §2.3).
+    t = wc.agg(F.sum("c").alias("n"))
     s = (
         w.join(wc, "word")
         .crossJoin(F.broadcast(t))
@@ -305,13 +339,19 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("k").desc())
+    # Argmax centroid via the struct-extrema aggregate (r12): the
+    # lexicographic max(struct(dp, k, emb)) equals the first row under
+    # ORDER BY dp DESC, k DESC (k is unique per vec_id, so the
+    # comparison never reaches emb — it just rides along), and the
+    # map-combined hash aggregate replaces a full sort window over
+    # |corpus|×K rows (guide §2.3).
+    best = F.max(F.struct(F.col("dp"), F.col("k"), F.col("emb")))
     assigned = (
         e.crossJoin(F.broadcast(cents))
         .withColumn("dp", dp)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", F.col("k").alias("cell"))
+        .groupBy("vec_id")
+        .agg(best.alias("b"))
+        .select("vec_id", F.col("b.emb").alias("emb"), F.col("b.k").alias("cell"))
     )
     dot = F.aggregate(
         F.zip_with(F.col("emb"), F.col("c"), lambda x, y: x * y),
@@ -325,21 +365,29 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(F.broadcast(cents), assigned.cell == cents.k)
         .select("vec_id", "cell", (dot / F.sqrt(na * F.col("cn"))).alias("cos"))
     )
+    # ONE ranking pass instead of union(ranked pool, pass-through):
+    # the old spelling filtered cosd twice (complementary predicates)
+    # and unioned, executing the whole assignment subtree twice (r12).
+    # Ranking the FULL cell under the same ORDER BY cos DESC, vec_id
+    # gives every cos ≥ τ row the exact rank it had in the filtered
+    # pool — the dropped rows (cos < τ) all sort strictly after — so
+    # the action column is value-identical and the pass-through rows
+    # never consult rk.
     w_rank = W.partitionBy("cell").orderBy(F.col("cos").desc(), "vec_id")
-    red = (
-        cosd.filter(F.col("cos") >= _SEM_TAU)
-        .withColumn("rk", F.row_number().over(w_rank))
+    return (
+        cosd.withColumn("rk", F.row_number().over(w_rank))
         .select(
             "vec_id",
             "cell",
             "cos",
-            F.when(F.col("rk") == 1, F.lit("keep")).otherwise(F.lit("drop")).alias("action"),
+            F.when(
+                F.col("cos") >= _SEM_TAU,
+                F.when(F.col("rk") == 1, F.lit("keep")).otherwise(F.lit("drop")),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("action"),
         )
     )
-    passthru = cosd.filter(F.col("cos") < _SEM_TAU).select(
-        "vec_id", "cell", "cos", F.lit("keep").alias("action")
-    )
-    return red.unionAll(passthru)
 
 
 _MV_CUTOFF = "1997-01-01"

@@ -194,8 +194,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     # Exact verification: string shingle sets built ONLY for the
-    # (tiny) surviving candidate docs, joined back by id.
-    sh = _doc_shingles(spark, sf_dir)
+    # (tiny) surviving candidate docs.  cand is persisted (it feeds the
+    # id prune AND the verify join) and the corpus is semi-joined down
+    # to candidate ids BEFORE the interpreted shingle projection — the
+    # r12 optimization round made the plan match this docstring: the
+    # old spelling evaluated shingles(text) over the FULL corpus twice
+    # (once per join side; plans/r12/dedup_ngram_jaccard_before.txt).
+    cand = cached(cand)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", shingles(F.col("text")).alias("sgl"))
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"))
     n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
@@ -408,11 +422,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(miss) ≤ 2e^(-2·32·0.25) ≈ 2e-7 per pair; measured max 0.149).
     An estimator/banding regression flips a boolean and hash-fails.
     """
-    surv = _lsh_verified_pairs(spark, sf_dir)
+    # Both pair frames are consumed by TWO aggregates each (stats +
+    # n_found for surv; n_truth + n_found for truth): persist the tiny
+    # id/score outputs so the band join and the exact-truth candidate
+    # pass execute once, not per-consumer — the same fix VERDICT r9
+    # applied to ml_minhash_lsh (r12 optimization round; measured
+    # before/after in OPTIMIZATION_r12.md).
+    surv = cached(_lsh_verified_pairs(spark, sf_dir))
 
     # Bound-style graded edge: exact truth count + quality booleans
     # (empty-set guards follow the ADVICE-r4 zero-division rule).
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    truth = cached(dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
     n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
     stats = surv.agg(
         F.coalesce(F.min(F.col("jaccard_check") >= 0.5), F.lit(True)).alias(
@@ -653,10 +673,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    )
+    # Symmetrize with ONE explode instead of unionAll(pairs, pairs):
+    # the union spelling references the pair plan twice, so the whole
+    # candidate+verify pass under it executed twice when `edges` first
+    # materialized (measured: the r12 optimization round; plan diff in
+    # plans/r12/dedup_connected_components_{before,after}.txt).  The
+    # explode emits exactly the same (src, dst) multiset from a single
+    # candidate pass.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = cached(edges, StorageLevel.MEMORY_AND_DISK)
     d = load_table(spark, sf_dir, "documents")
     # Iterate ONLY over nodes that appear in an edge — near-dup'd docs
@@ -761,7 +792,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    sh = d.select("doc_id", shingles(F.col("text")).alias("sgl"))
+    # Same candidate-bounded verify as dedup_ngram_jaccard (r12): pin
+    # the tiny pair set, semi-join the corpus down to candidate ids,
+    # THEN build the string shingle sets — not two full-corpus passes.
+    cand = cached(cand)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", shingles(F.col("text")).alias("sgl"))
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"))
     n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))

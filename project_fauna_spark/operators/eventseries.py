@@ -397,7 +397,13 @@ def _distributed_ntile(df: DataFrame, order_cols, n_buckets: int, out_col: str) 
     """
     ranged = df.repartitionByRange(*order_cols).withColumn("_pid", F.spark_partition_id())
     w_local = W.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long"))
+    # `local` feeds TWO branches (per-partition count grid + final rank
+    # join), and event_rfm_segmentation CHAINS three of these — uncached,
+    # each stage re-derived its whole upstream per branch (2^3 blowup:
+    # 364 Exchanges / 122 BNLJ in the initial plan, tools/audit_plans.py
+    # r12).  One pin per stage caps the recompute at one pass per stage
+    # (r12; guide §5 persist-on-reuse).
+    local = cached(ranged.withColumn("_lrn", F.row_number().over(w_local).cast("long")))
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     prior = counts.select(F.col("_pid").alias("_pid2"), F.col("_c").alias("_c2"))
     offsets = (

@@ -489,6 +489,12 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
     )
+    # ib feeds FOUR consumers (nb, t, and both self-join sides): pin the
+    # small distinct basket table so the lineitem⋈part join + distinct
+    # run once, not per consumer (r12; the dedup-family cached() rule).
+    from project_fauna_spark.cache import cached as _cached
+
+    ib = _cached(ib)
     nb = ib.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
     t = ib.agg(F.countDistinct("ok").alias("n_orders"))
     a = ib.select(F.col("ok"), F.col("brand").alias("brand_a"))
@@ -626,7 +632,14 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("vec_id", "rel", F.col("rel").alias("score"), F.lit(1).cast("long").alias("rnd"))
     )
-    out = picked
+    # Each round references `out` THREE times (ms, the anti-join, and
+    # the unionAll), so the unrolled lineage grew 3^K copies of the
+    # base plan (522 Exchange mentions in the initial plan,
+    # tools/audit_plans.py r12) — pure planner overhead for a ≤5-row
+    # frame.  Pinning each round's selection truncates the lineage to
+    # one copy per round; rows are bounded by K=5, so the pins are
+    # bytes (r12; guide §3.3 "materialise to truncate the plan").
+    out = cached(picked)
     for r in range(2, _MMR_K + 1):
         sel = out.select("vec_id")
         ms = (
@@ -646,7 +659,7 @@ def sim_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), "vec_id")
             .limit(1)
         )
-        out = out.unionAll(nxt)
+        out = cached(out.unionAll(nxt))
     return out
 
 
@@ -766,17 +779,25 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = bg.groupBy("doc_id").agg(
         *[F.min(_h32(F.col("bg"), f"mh{j}:")).alias(f"m{j}") for j in range(_MH_J)]
     )
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("bh"),
-        )
-        for b in range(_MH_J // 2)
-    ]
-    import functools as _ft
-
-    bands = _ft.reduce(lambda x, y: x.unionAll(y), band_frames)
+    # One posexplode over a 4-element band array instead of a 4-way
+    # unionAll of per-band projections of `sig`: the union spelling
+    # embedded the whole explode→distinct→8×md5-min signature chain
+    # once PER BAND PER JOIN SIDE (8 copies, zero exchange reuse —
+    # plans/r12/dedup_minhash_md5_before.txt shows 48 Exchanges), while
+    # the explode emits the identical (doc_id, band_id, bh) rows from a
+    # single signature subtree per side, which the planner can then
+    # dedupe across the self-join (guide §2.4: share one exchange).
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))
+                    for b in range(_MH_J // 2)
+                ]
+            )
+        ).alias("band_id", "bh"),
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "bh"
     )
@@ -789,9 +810,29 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band_id").alias("n_bands"))
     )
-    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    bga = bg.select(F.col("doc_id").alias("doc_a"), F.col("bg"))
-    bgb = bg.select(F.col("doc_id").alias("doc_b"), F.col("bg"))
+    # Candidate-bounded exact verify (r12): the old spelling rebuilt the
+    # full-corpus distinct-bigram explode FOUR more times (sizes ×2,
+    # inter ×2).  Persist the tiny band-collision pair set, semi-join
+    # the corpus down to pair-participant ids, and build bigrams for
+    # those docs only — the join results (inner on pair ids) are
+    # unchanged.  The full-corpus explode now runs only under the
+    # signature aggregate, once per self-join side.
+    from project_fauna_spark.cache import cached as _cached
+
+    pairs = _cached(pairs)
+    pair_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    bg_pairs = (
+        d.join(pair_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(word_bigrams(F.col("text"))).alias("bg"))
+        .distinct()
+    )
+    sizes = bg_pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    bga = bg_pairs.select(F.col("doc_id").alias("doc_a"), F.col("bg"))
+    bgb = bg_pairs.select(F.col("doc_id").alias("doc_b"), F.col("bg"))
     inter = (
         pairs.join(bga, "doc_a")
         .join(bgb, ["doc_b", "bg"])
@@ -1360,7 +1401,6 @@ def dedup_cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     dfreq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
     rare = bg.join(dfreq.filter(F.col("df") <= 20), "bg").select("doc_id", "bg")
-    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ra = rare.select(F.col("doc_id").alias("doc_a"), "bg")
     rb = rare.select(F.col("doc_id").alias("doc_b"), "bg")
     cand = (
@@ -1369,8 +1409,28 @@ def dedup_cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    bga = bg.select(F.col("doc_id").alias("doc_a"), "bg")
-    bgb = bg.select(F.col("doc_id").alias("doc_b"), "bg")
+    # Candidate-bounded verify (r12, the dedup_ngram_jaccard pattern-2
+    # fix): pin the tiny pair set, semi-join the corpus down to
+    # pair-participant ids, and build the distinct-bigram frame for
+    # those docs ONLY — the old spelling re-ran the full-corpus explode
+    # three more times (sizes + both verify join sides).  Inner joins
+    # on the pair ids are unchanged by pruning to pair participants,
+    # and per-doc bigram counts are per-doc properties of the same
+    # text, so sizes values are identical for every surviving pair.
+    cand = cached(cand)
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    # bgc itself feeds THREE consumers (sizes + both verify join
+    # sides); it is candidate-bounded, so the pin is output-sized.
+    bgc = cached(
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(word_bigrams(F.col("text"))).alias("bg"))
+        .distinct()
+    )
+    sizes = bgc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    bga = bgc.select(F.col("doc_id").alias("doc_a"), "bg")
+    bgb = bgc.select(F.col("doc_id").alias("doc_b"), "bg")
     full_inter = (
         cand.join(bga, "doc_a")
         .join(bgb, ["doc_b", "bg"])
@@ -1628,8 +1688,15 @@ def _distributed_cumsum(df, order_cols, val_col: str, out_col: str):
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = ranged.withColumn("_lcs", F.sum(val_col).over(w_local))
-    totals = ranged.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
+    # `local` feeds TWO branches (the per-partition totals grid and the
+    # final offset join) — uncached, each branch re-derived the whole
+    # upstream (for event_concurrency_gauge, the full sessionize
+    # pipeline).  One pin caps it at one pass, and `totals` now reads
+    # the SAME pinned rows (sum per _pid is identical on ranged and
+    # local — the window only appends _lcs).  r12; the
+    # _distributed_ntile / _grouped_ntile sibling fix, guide §5.
+    local = cached(ranged.withColumn("_lcs", F.sum(val_col).over(w_local)))
+    totals = local.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
     prior = totals.select(F.col("_pid").alias("_pid2"), F.col("_t").alias("_t2"))
     offsets = (
         totals.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")
@@ -1717,13 +1784,30 @@ def event_concurrency_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = s.groupBy("user_id", "session_no").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )
-    starts = sess.select(
-        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_no"
-    )
-    ends = sess.select(
-        F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_no"
-    )
-    deltas = starts.unionAll(ends)
+    # ONE explode instead of unionAll(starts, ends): the union spelling
+    # referenced the (uncached) sessionize+aggregate subtree twice, so
+    # the whole per-user window pipeline executed twice when the cumsum
+    # materialized (r12; the CC edge-build pattern-1 fix).  The explode
+    # emits exactly the same (ts, delta, user_id, session_no) multiset
+    # from a single sessionize pass.
+    deltas = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_start").alias("ts"),
+                    F.lit(1).alias("delta"),
+                    F.col("user_id"),
+                    F.col("session_no"),
+                ),
+                F.struct(
+                    F.col("s_end").alias("ts"),
+                    F.lit(-1).alias("delta"),
+                    F.col("user_id"),
+                    F.col("session_no"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.ts", "e.delta", "e.user_id", "e.session_no")
     gauge = _distributed_cumsum(
         deltas, [F.col("ts"), F.col("delta"), F.col("user_id"), F.col("session_no")],
         "delta", "concurrency",

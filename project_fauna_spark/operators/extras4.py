@@ -862,13 +862,20 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band-collision index.  Three scalar counts cross-joined into
     one row — output size is constant at any corpus scale.
     """
+    from project_fauna_spark.cache import cached
     from project_fauna_spark.operators.dedup import (
         dedup_ngram_jaccard,
     )
     from project_fauna_spark.operators.extras3 import dedup_minhash_md5
 
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cand = dedup_minhash_md5(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    # Both pair frames are consumed TWICE (their scalar count + the
+    # intersection join): persist the tiny id-pair outputs so each
+    # full dedup pipeline executes once, not per-consumer (r12; the
+    # dedup_minhash_lsh / ml_minhash_lsh pattern-4 fix).
+    exact = cached(dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
+    cand = cached(
+        dedup_minhash_md5(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     found = exact.join(cand, ["doc_a", "doc_b"]).agg(
@@ -1109,9 +1116,13 @@ def llm_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_fauna_spark.operators.dedup import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir)
+    # ONE explode instead of union(pairs, pairs): the union spelling
+    # executed the whole verified-pair plan twice (r12; the CC edge
+    # build fix).  Identical id multiset → identical distinct set.
     involved = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+        )
         .distinct()
         .select("doc_id", F.lit(True).alias("_nd"))
     )

@@ -194,9 +194,17 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
         .select(F.col("du").alias("x"), F.col("dv").alias("y"))
     )
-    ends = ends_base.unionAll(
-        ends_base.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    )
+    # ONE explode instead of unionAll(ends_base, reversed ends_base):
+    # the union spelling ran the two degree joins twice (r12; the CC
+    # edge-build fix).  Same (x, y) multiset.
+    ends = ends_base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x"), F.col("y")),
+                F.struct(F.col("y").alias("x"), F.col("x").alias("y")),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
     from project_fauna_spark.functions.moments import (
         int_pearson_moments,
         pearson_terms,

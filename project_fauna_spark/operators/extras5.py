@@ -634,9 +634,20 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
     )
+    # Symmetrize with ONE explode instead of union(e0, e0): the union
+    # spelling references the 4-table join twice, so it executed twice
+    # when `adj` first materialized (r12; same fix as the CC edge
+    # build).  Identical row multiset → identical distinct set.
     adj = (
-        e0.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
-        .union(e0.select(F.col("dst").alias("node"), F.col("src").alias("nb")))
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.col("dst").alias("nb")),
+                    F.struct(F.col("dst").alias("node"), F.col("src").alias("nb")),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nb")
         .distinct()
     )
     adj = cached(adj)

@@ -201,10 +201,14 @@ def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cached(scored)
     w_cell = W.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("k").desc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("k").alias("cell"))
+    # Argmax cell via the repo's struct-extrema aggregate instead of a
+    # row_number window (r12): max(struct(dp, k)) is the lexicographic
+    # max = first row under ORDER BY dp DESC, k DESC — identical cell
+    # per vector — and the hash aggregate is map-combined with no sort,
+    # where the window spelling sorted all |corpus|×K scored rows
+    # (guide §2.3: aggregate before you shuffle).
+    assigned = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("dp"), F.col("k"))).getField("k").alias("cell")
     )
 
     # (2) PQ codes for the corpus + (5') per-query LUT share one
@@ -232,13 +236,15 @@ def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"x{i}") - F.col(f"w{i}")
     )
     dist = ((sq(1) + sq(2)) + sq(3)) + sq(4)
-    w_assign = W.partitionBy("vec_id", "s").orderBy("dist", "c")
+    # Argmin codeword via min(struct(dist, c)) — the lexicographic min
+    # equals the first row under ORDER BY dist, c, so the PQ code per
+    # (vec_id, s) is identical; the sort-based row_number window over
+    # |corpus|×M×K rows becomes a map-combined aggregate (r12).
     codes = (
         sub.join(F.broadcast(cb), "s")
         .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "c")
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("dist"), F.col("c"))).getField("c").alias("c"))
     )
 
     # (3) probes: nprobe best cells per query vector.

@@ -415,8 +415,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_fauna_spark.functions.shingles import (
         drop_hot_shingles as _drop_hot,
         shingle_hashes,
+        shingles,
     )
-    from project_fauna_spark.operators.dedup import _doc_shingles
 
     d = load_table(spark, sf_dir, "documents")
     hashed = d.select("doc_id", shingle_hashes(F.col("text")).alias("hsgl"))
@@ -447,7 +447,19 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    sh = _doc_shingles(spark, sf_dir)
+    # Candidate-bounded verify (r12, the dedup_ngram_jaccard pattern):
+    # persist the tiny pair set and semi-join the corpus down to
+    # candidate ids before the interpreted shingle projection.
+    cand = cached(cand)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", shingles(F.col("text")).alias("sgl"))
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"))
     n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))

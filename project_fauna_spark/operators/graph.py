@@ -119,11 +119,16 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All divisions use Spark's integral `div` (== DuckDB `//` for the
     # all-positive values here) — no doubles anywhere in the iteration.
     base = (_SCALE * (_DAMP_DEN - _DAMP_NUM)) // _DAMP_DEN
+    # Attach each edge's out-degree ONCE before the loop instead of
+    # re-joining outdeg inside every round: the per-round work drops
+    # from two joins to one, and the (src, dst, d) frame is the one
+    # that persists across rounds (r12 optimization; share = r div d
+    # per edge is unchanged, so the integer fixpoint is identical).
+    eout = cached(edges.join(outdeg, "src").select("src", "dst", "d"))
     ranks = nodes.select("node", F.lit(_SCALE).cast("long").alias("r"))
     for _ in range(3):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg.withColumnRenamed("src", "od_src"), F.col("src") == F.col("od_src"))
+            eout.join(ranks, eout.src == ranks.node)
             .select("dst", F.expr("r div d").alias("share"))
         )
         incoming = contrib.groupBy("dst").agg(F.sum("share").alias("inc"))
@@ -248,11 +253,25 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
     )
+    # ONE explode instead of unionAll(edges, edges): the union spelling
+    # referenced the (uncached) 4-table join twice, executing it twice
+    # (r12; the CC edge-build fix).  Same (node, outd, ind) multiset.
     both = edges.select(
-        F.col("src").alias("node"), F.lit(1).alias("outd"), F.lit(0).alias("ind")
-    ).unionAll(
-        edges.select(F.col("dst").alias("node"), F.lit(0).alias("outd"), F.lit(1).alias("ind"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("node"),
+                    F.lit(1).alias("outd"),
+                    F.lit(0).alias("ind"),
+                ),
+                F.struct(
+                    F.col("dst").alias("node"),
+                    F.lit(0).alias("outd"),
+                    F.lit(1).alias("ind"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.outd", "e.ind")
     return both.groupBy("node").agg(
         F.sum("outd").cast("long").alias("out_degree"),
         F.sum("ind").cast("long").alias("in_degree"),

@@ -385,6 +385,11 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     ex = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
+    # Both sides of the gram join slice the SAME exploded index: persist
+    # it so the interpreted shingle build runs once, not once per side
+    # (r12; the llm_contamination_overlap persist rule — its recompute
+    # A/B'd 6× slower in BASELINE.md).
+    ex = cached(ex)
     ev = ex.filter(F.col("doc_id") % 10 == 0).select(F.col("doc_id").alias("eval_id"), "g")
     tr = ex.filter(F.col("doc_id") % 10 != 0).select(F.col("doc_id").alias("train_id"), "g")
     hits = (

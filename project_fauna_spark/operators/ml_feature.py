@@ -142,9 +142,16 @@ def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="tokens", outputCol="features", binary=True, vocabSize=1 << 15
     )
     feats = cv.fit(d).transform(d).filter(F.expr("size(tokens) > 0"))
+    # Project to (doc_id, features) BEFORE the similarity join: the
+    # join explodes 8 hash tables and shuffles every column of both
+    # sides, so leaving the 3-gram `tokens` string array on the frame
+    # multiplies the heaviest shuffle by the corpus text size
+    # (guide §2.3 — project before the exchange).  Pair set unchanged:
+    # the join keys on hashes/features and the output uses ids only.
+    slim = feats.select("doc_id", "features")
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    model = lsh.fit(slim)
+    pairs = model.approxSimilarityJoin(slim, slim, 0.5, distCol="jaccard_dist")
     # Pair frames below are consumed by 2-3 aggregates each; persist the
     # tiny id/dist outputs so the CountVectorizer+LSH join and the full
     # dedup_ngram_jaccard truth plan execute ONCE, not per-consumer
@@ -176,8 +183,19 @@ def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-score the (bounded) truth pairs in the LSH's OWN space — exact
     # Jaccard over raw distinct shingle sets, joined back by id — and
     # use the > 0.5 survivors as the recall denominator so the LSH
-    # collision bound applies to every counted pair.
-    raw = d.select("doc_id", F.array_distinct("tokens").alias("sgl"))
+    # collision bound applies to every counted pair.  The corpus is
+    # semi-joined down to the truth-pair ids BEFORE the shingle
+    # projection (r12): the old spelling re-shingled every document
+    # twice just to score the handful of truth pairs.
+    truth_ids = (
+        truth.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(truth.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    raw = (
+        d.join(truth_ids, "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct("tokens").alias("sgl"))
+    )
     ra = raw.select(F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"))
     rb = raw.select(F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"))
     n_inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
