@@ -76,38 +76,24 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-join, not explode-on-hot-key).
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = _token_grams(F.col("text"))
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
-    # r12 restructure (results identical; see OPTIMIZATION_r12.md):
-    # * n_grams == size(token_grams) — a narrow map, so the per-doc
-    #   total never rides the gram join at all (docs with zero grams
-    #   are filtered exactly as the explode dropped them before).
-    # * the join-back attaches only the DUPLICATED grams (cnt >= 2):
-    #   every other gram contributed 0 to n_dup_grams, so an inner
-    #   join against the dup subset + coalesce(0) on the left join is
-    #   value-identical — and the broadcast/build side shrinks from
-    #   the whole gram vocabulary to its duplicated sliver (guide
-    #   §2.3/§3.2: shrink the side you attach, pre-filter the probe).
-    per_doc = d.select(
-        "doc_id", F.size(grams).cast("long").alias("n_grams")
-    ).filter(F.col("n_grams") > 0)
-    dup_grams = (
-        g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("gram")
-    )
-    dup_counts = (
-        g.join(dup_grams, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
+    # Single join-then-aggregate spelling, KEPT DELIBERATELY (r12 A/B):
+    # the "shrink the build side" restructure (narrow per-doc n_grams
+    # map + join-back of only the duplicated grams + left join) was
+    # measured 1.4x SLOWER here — it still explodes the grams twice
+    # (dup-count aggregate + join probe), exactly like this spelling,
+    # and then adds a third join stage on top.  The whole vocabulary
+    # fits the broadcast comfortably at any per-task scale because the
+    # count aggregate reduces it before the join.  Numbers in
+    # OPTIMIZATION_r12.md.
+    g = d.select("doc_id", F.explode(_token_grams(F.col("text"))).alias("gram"))
+    c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("long")
     return (
-        per_doc.join(dup_counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        g.join(c, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.alias("n_dup_grams"),
         )
         .withColumn(
             "dup_share", F.col("n_dup_grams").cast("double") / F.col("n_grams")

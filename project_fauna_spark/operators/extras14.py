@@ -85,19 +85,27 @@ def llm_dedup_impact_on_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_kept = exact_kept.join(near_drops, "doc_id", "left_anti").withColumn(
         "kept", F.lit(1)
     )
-    # tagged feeds BOTH the totals row and the per-language aggregate —
-    # persist it so the dedup pair pipeline runs once, not per consumer
-    # (the join_bloom_semi_prefilter 7.2s->1.6s lesson; code-review r6).
+    # r12: pin the |langs|-row aggregate, not the corpus.  The old
+    # spelling cached `tagged` = corpus ⋈ final_kept WITH the full text
+    # column (the cache pinned every byte of corpus text) and then ran
+    # a SECOND full pass over it for the totals row.  The totals are
+    # exact int64 sums of the per-language counts (Σ per-group COUNT(*)
+    # == COUNT(*), Σ per-group kept-sums == global kept-sum — the
+    # llm_ccnet_buckets totals-from-the-aggregate fix), so one
+    # projected pass + a bytes-sized pin replaces a corpus-sized pin +
+    # two passes; the dedup pair pipeline still runs exactly once.
     from project_fauna_spark.cache import cached
 
-    tagged = cached(d.join(final_kept, "doc_id", "left"))
-    tot = tagged.agg(
-        F.count("*").alias("n_raw_total"),
-        F.sum(F.coalesce("kept", F.lit(0))).alias("n_final_total"),
+    tagged = d.select("doc_id", "lang").join(final_kept, "doc_id", "left")
+    per_lang = cached(
+        tagged.groupBy("lang").agg(
+            F.count("*").alias("n_raw"),
+            F.sum(F.coalesce("kept", F.lit(0))).cast("long").alias("n_kept"),
+        )
     )
-    per_lang = tagged.groupBy("lang").agg(
-        F.count("*").alias("n_raw"),
-        F.sum(F.coalesce("kept", F.lit(0))).cast("long").alias("n_kept"),
+    tot = per_lang.agg(
+        F.sum("n_raw").alias("n_raw_total"),
+        F.sum("n_kept").alias("n_final_total"),
     )
     share_raw = F.col("n_raw").cast("double") / F.col("n_raw_total")
     share_kept = F.col("n_kept").cast("double") / F.col("n_final_total")

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from project_fauna_spark.cache import cached
 from project_fauna_spark.io import load_table
 from project_fauna_spark.plans.registry import register
 
@@ -91,13 +90,12 @@ def llm_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_kept = exact_kept.join(near_drops, "doc_id", "left_anti").withColumn(
         "kept", F.lit(1)
     )
-    # tagged feeds nothing twice here, but the dedup pair pipeline is
-    # expensive — persist the tagged frame so a future second consumer
-    # (or driver re-collect) never re-runs it (extras14 convention).
-    tagged = cached(
-        d.join(final_kept, "doc_id", "left").select(
-            "source", "toks", F.col("kept").isNotNull().alias("is_kept")
-        )
+    # r12: NO pin.  tagged has exactly one consumer (the rollup below),
+    # so the old "persist for a hypothetical future consumer" cache was
+    # pure cost: a corpus-length materialization barrier per invocation
+    # with zero reuse (guide §5 — cache only when reused).
+    tagged = d.join(final_kept, "doc_id", "left").select(
+        "source", "toks", F.col("kept").isNotNull().alias("is_kept")
     )
     kept_toks = F.sum(F.when(F.col("is_kept"), F.col("toks")).otherwise(0))
     saved_toks = F.sum(F.when(~F.col("is_kept"), F.col("toks")).otherwise(0))

@@ -779,25 +779,28 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = bg.groupBy("doc_id").agg(
         *[F.min(_h32(F.col("bg"), f"mh{j}:")).alias(f"m{j}") for j in range(_MH_J)]
     )
-    # One posexplode over a 4-element band array instead of a 4-way
-    # unionAll of per-band projections of `sig`: the union spelling
-    # embedded the whole explode→distinct→8×md5-min signature chain
-    # once PER BAND PER JOIN SIDE (8 copies, zero exchange reuse —
-    # plans/r12/dedup_minhash_md5_before.txt shows 48 Exchanges), while
-    # the explode emits the identical (doc_id, band_id, bh) rows from a
-    # single signature subtree per side, which the planner can then
-    # dedupe across the self-join (guide §2.4: share one exchange).
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))
-                    for b in range(_MH_J // 2)
-                ]
-            )
-        ).alias("band_id", "bh"),
-    )
+    # Recompute-everything spelling, KEPT DELIBERATELY (r12 A/B): both
+    # "obvious" optimizations were measured slower on this query —
+    # (a) replacing the 4-way unionAll of per-band projections with one
+    # posexplode over a band array was 1.5x slower (the union lets the
+    # planner prune each sig copy down to the two mins that band needs,
+    # so the 8 thin aggregates beat 2 fat ones), and (b) the
+    # candidate-bounded verify (persist pairs, semi-join the corpus to
+    # pair participants) was 2.5-3x slower — the persist barrier on
+    # `pairs` costs far more than the cheap full-corpus bigram passes it
+    # saves, the same effect BASELINE.md's earlier A/B recorded for a
+    # persist of the signature chain.  Numbers in OPTIMIZATION_r12.md.
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("bh"),
+        )
+        for b in range(_MH_J // 2)
+    ]
+    import functools as _ft
+
+    bands = _ft.reduce(lambda x, y: x.unionAll(y), band_frames)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "bh"
     )
@@ -810,29 +813,9 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band_id").alias("n_bands"))
     )
-    # Candidate-bounded exact verify (r12): the old spelling rebuilt the
-    # full-corpus distinct-bigram explode FOUR more times (sizes ×2,
-    # inter ×2).  Persist the tiny band-collision pair set, semi-join
-    # the corpus down to pair-participant ids, and build bigrams for
-    # those docs only — the join results (inner on pair ids) are
-    # unchanged.  The full-corpus explode now runs only under the
-    # signature aggregate, once per self-join side.
-    from project_fauna_spark.cache import cached as _cached
-
-    pairs = _cached(pairs)
-    pair_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    bg_pairs = (
-        d.join(pair_ids, "doc_id", "left_semi")
-        .select("doc_id", F.explode(word_bigrams(F.col("text"))).alias("bg"))
-        .distinct()
-    )
-    sizes = bg_pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    bga = bg_pairs.select(F.col("doc_id").alias("doc_a"), F.col("bg"))
-    bgb = bg_pairs.select(F.col("doc_id").alias("doc_b"), F.col("bg"))
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    bga = bg.select(F.col("doc_id").alias("doc_a"), F.col("bg"))
+    bgb = bg.select(F.col("doc_id").alias("doc_b"), F.col("bg"))
     inter = (
         pairs.join(bga, "doc_a")
         .join(bgb, ["doc_b", "bg"])
