@@ -1635,24 +1635,32 @@ def llm_e2e_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_grams.join(F.broadcast(eval_grams), "gram").select("doc_id").distinct()
     )
     clean = train.join(contaminated, "doc_id", "left_anti")
-    t = clean.agg(F.sum("n_words").alias("total_tokens"))
-    return (
-        clean.crossJoin(F.broadcast(t))
-        .groupBy("lang", "total_tokens")
-        .agg(
+    # r12: corpus token total from the per-language manifest itself,
+    # not a second full pass over `clean` — the unpinned two-consumer
+    # spelling ran the whole gate→dedup→decontaminate pipeline TWICE
+    # (once for the scalar total, once for the manifest).  Σ per-lang
+    # sum(n_words) == sum(n_words) over clean exactly (int64), so
+    # token_share divides the identical values (the llm_ccnet_buckets
+    # totals-from-the-aggregate identity).  The manifest is pinned
+    # (|langs| rows) because the total now derives from it.
+    from project_fauna_spark.cache import cached
+
+    manifest = cached(
+        clean.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").cast("long").alias("n_tokens"),
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
-        .select(
-            "lang",
-            "n_docs",
-            "n_tokens",
-            "total_chars",
-            (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
-                "token_share"
-            ),
-        )
+    )
+    t = manifest.agg(F.sum("n_tokens").alias("total_tokens"))
+    return manifest.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "total_chars",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+            "token_share"
+        ),
     )
 
 
@@ -2095,9 +2103,17 @@ def q_abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dec_rev")
     )
-    t = rev.agg(F.sum("dec_rev").alias("total"))
     # two-level distributed cumsum spelled inline in decimal arithmetic
-    # (_distributed_cumsum casts its output to long — integers only)
+    # (_distributed_cumsum casts its output to long — integers only).
+    # r12: pin `local` and derive BOTH the per-partition totals and the
+    # grand total from the pinned rows — the unpinned spelling ran the
+    # lineitem revenue aggregate THREE times (t, local, totals) and the
+    # range shuffle twice.  Exactness: decimal sums are associative, so
+    # Σ_pid Σ_partition dec_rev == Σ dec_rev bit-for-bit, and the
+    # window only appends _lcs (per-_pid sums are unchanged).  The
+    # _distributed_cumsum / _grouped_ntile sibling fix, guide §5.
+    from project_fauna_spark.cache import cached
+
     ranged = rev.repartitionByRange(
         F.col("dec_rev").desc(), F.col("l_partkey")
     ).withColumn("_pid", F.spark_partition_id())
@@ -2106,8 +2122,9 @@ def q_abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dec_rev").desc(), F.col("l_partkey"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = ranged.withColumn("_lcs", F.sum("dec_rev").over(w_local))
-    totals = ranged.groupBy("_pid").agg(F.sum("dec_rev").alias("_t"))
+    local = cached(ranged.withColumn("_lcs", F.sum("dec_rev").over(w_local)))
+    totals = local.groupBy("_pid").agg(F.sum("dec_rev").alias("_t"))
+    t = totals.agg(F.sum("_t").alias("total"))
     prior = totals.select(F.col("_pid").alias("_pid2"), F.col("_t").alias("_t2"))
     offsets = (
         totals.join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"), "left")

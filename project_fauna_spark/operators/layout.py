@@ -192,7 +192,12 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_CMS_DEPTH)
     ]
     cells = functools.reduce(lambda a, b: a.unionAll(b), cell_frames)
-    exact = (
+    # r12: pin the 20-row exact top-k — the 4 per-row probe projections
+    # below each referenced it, so the unpinned spelling ran the full
+    # exact groupBy + top-20 over events FOUR times (guide §5).
+    from project_fauna_spark.cache import cached
+
+    exact = cached(
         ev.groupBy("k")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.col("exact_n").desc(), "k")
@@ -451,16 +456,26 @@ def layout_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB zone maps live in table-format metadata and this query
     is the planner's pruning estimate, one row per (predicate, layout).
     """
+    from project_fauna_spark.cache import cached
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    fc = o.groupBy(
-        F.expr(
-            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 32"
-        ).alias("file_id")
-    ).agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
-    fs = o.groupBy(
-        (F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)) % 8)
-        .alias("file_id")
-    ).agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+    # r12: pin the two per-file zone-map frames — each feeds BOTH its
+    # scan-count join and its file-count scalar, so the unpinned
+    # spelling aggregated the orders scan twice per layout (4 passes +
+    # the months pass).  The pins are |files| rows (dozens), guide §5.
+    fc = cached(
+        o.groupBy(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 32"
+            ).alias("file_id")
+        ).agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+    )
+    fs = cached(
+        o.groupBy(
+            (F.ascii(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)) % 8)
+            .alias("file_id")
+        ).agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+    )
     months = (
         o.select(F.date_trunc("month", "o_orderdate").alias("lo"))
         .distinct()
