@@ -699,6 +699,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # algorithm checkpoint (guide §5 "localCheckpoint cuts lineage");
     # rows are unchanged, and the persist in front keeps the checkpoint
     # rebuild cost at one InMemory scan per invocation.
+    # Cleanup caveat (ADVICE r12): the checkpoint RDD persists OUTSIDE
+    # the cached() registry, and unpersisting checkpointed data by hand
+    # is unsafe (lineage is severed — the data IS the frame).  Freeing
+    # it therefore RELIES ON ContextCleaner: each invocation builds a
+    # fresh checkpoint RDD whose only driver-side reference dies with
+    # this function's frame, so driver GC queues the old one for
+    # cleanup between queries.  Bounded (one edge-set copy per live
+    # invocation), not correctness-affecting; the repeat-invocation
+    # test in tests/test_round12_opt_properties.py covers the lifecycle.
     edges = cached(edges, StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager=False)
     d = load_table(spark, sf_dir, "documents")
     # Iterate ONLY over nodes that appear in an edge — near-dup'd docs

@@ -476,19 +476,47 @@ def llm_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame
     fprint = F.array_join(F.array_sort(F.array_distinct(F.split(squeezed, " "))), " ")
     fp = d.select("doc_id", "text", fprint.alias("fprint"))
 
+    # Single consumer (the near-dup pipeline below) — the scalar
+    # n_after_exact is derived arithmetically instead (COUNT(*) of
+    # GROUP BY text == COUNT(DISTINCT text), NULL group spelled
+    # explicitly), so the r12 corpus-text-sized cached() pin is gone.
+    # Under cached-plan AQE that pin coalesced to a handful of
+    # partitions and serialized the downstream shingle self-join
+    # (measured +1.4 s, OPTIMIZATION_r13.md); at 100 TB it was a
+    # corpus-sized MEMORY_AND_DISK materialization.
     exact_kept = fp.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    from project_fauna_spark.cache import cached
-
-    exact_kept = cached(exact_kept)
 
     hashed = exact_kept.select("doc_id", shingle_hashes(F.col("text")).alias("hsgl"))
-    ex = hashed.select(
-        "doc_id", F.size("hsgl").alias("n"), F.explode("hsgl").alias("h")
+    # Pin moved from exact_kept (corpus TEXT) to the exploded shingle
+    # index (three int64 columns).  ex has THREE consumers — the hot-df
+    # aggregate inside drop_hot_shingles plus both self-join sides — so
+    # this is the node where one pin caps the expensive fingerprint+
+    # shingle build at exactly one pass, at full post-exchange
+    # parallelism, instead of per consumer on an AQE-coalesced text pin
+    # (r13; guide §5).  The downstream anti-join is a broadcast
+    # (map-side) pass over the pin, cheap to run per consumer.
+    from project_fauna_spark.cache import cached
+
+    ex = cached(
+        hashed.select("doc_id", F.size("hsgl").alias("n"), F.explode("hsgl").alias("h"))
     )
     exr = drop_hot_shingles(ex)
     a, b = exr.alias("a"), exr.alias("b")
+    # Length-ratio prune (result-preserving): n_inter <= min(n_a, n_b),
+    # so jaccard >= 0.5 forces n_a <= 2*n_b AND n_b <= 2*n_a (violate
+    # either strictly and the ratio is < 0.5 strictly; equality can
+    # reach exactly 0.5, so the bounds are inclusive).  Filtering in
+    # the join condition drops those pairs before the pair aggregation
+    # — fewer shuffled bytes, ~20% off the candidate stage (guide §2.3;
+    # measured A/B in OPTIMIZATION_r13.md, identical n_nd).
     cand = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -504,8 +532,20 @@ def llm_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame
     n_dropped = cand.select(F.col("doc_b").alias("doc_id")).distinct().agg(
         F.count("*").alias("n_nd")
     )
-    totals = d.agg(F.count("*").alias("n_total"))
-    n_exact = exact_kept.agg(F.count("*").alias("n_after_exact"))
+    # The corpus scalars stay SEPARATE single-distinct aggregates
+    # (crossJoined): n_after_exact == COUNT(*) of GROUP BY text ==
+    # COUNT(DISTINCT text) plus one for a NULL-text group if present
+    # (exact int64 identity — DuckDB's COUNT(DISTINCT) skips NULLs, the
+    # GROUP BY keeps them).  A combined two-distinct aggregate plans an
+    # Expand ×3 of the text column and measured 40% slower than the
+    # three pruned scans (0.65 vs 0.47 s, OPTIMIZATION_r13.md).
+    totals = d.agg(F.count(F.lit(1)).alias("n_total"))
+    n_exact = d.agg(
+        (
+            F.countDistinct("text")
+            + (F.count(F.lit(1)) > F.count("text")).cast("long")
+        ).alias("n_after_exact")
+    )
     n_fp = fp.agg(F.countDistinct("fprint").alias("n_distinct_fingerprints"))
     return (
         totals.crossJoin(n_exact)

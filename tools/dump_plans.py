@@ -29,7 +29,11 @@ from project_fauna_spark.plans import QUERIES
 from bench import HEADLINE
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("FAUNA_PLANS_ROUND", "r12"),
+)
 
 
 def summarize(text: str) -> str:
