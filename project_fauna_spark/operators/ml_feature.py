@@ -148,7 +148,22 @@ def ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplies the heaviest shuffle by the corpus text size
     # (guide §2.3 — project before the exchange).  Pair set unchanged:
     # the join keys on hashes/features and the output uses ids only.
-    slim = feats.select("doc_id", "features")
+    # approxSimilarityJoin(slim, slim) transforms BOTH sides separately,
+    # so without a pin the shingle build + CountVectorizer transform run
+    # twice per invocation (and the fitted-model UDF defeats the
+    # cross-invocation plan-identity cache, so every warm run pays it
+    # again).  The pin carries doc_id + the binary sparse vector only —
+    # int indices, no text, no shingle strings (r13; guide §5).
+    # approxSimilarityJoin(slim, slim) transforms BOTH sides separately,
+    # so without a pin the shingle build + CountVectorizer transform run
+    # twice per invocation (and the fitted-model UDF defeats the
+    # cross-invocation plan-identity cache, so every warm run pays it
+    # again).  The pin carries doc_id + the binary sparse vector only —
+    # int indices, no text, no shingle strings (r13; guide §5).  A
+    # pre-transformed (features + hashes) pin was ALSO measured and
+    # lost (6.39 vs 5.77 s): the wider pin costs more to materialize
+    # and scan than the 8 minhash functions cost to recompute per side.
+    slim = cached(feats.select("doc_id", "features"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(slim)
     pairs = model.approxSimilarityJoin(slim, slim, 0.5, distCol="jaccard_dist")
